@@ -1,0 +1,135 @@
+"""Hand-rolled MinHash-LSH as pure Catalyst expressions.
+
+Why not ``pyspark.ml.feature.MinHashLSH``: its ``approxSimilarityJoin``
+hides partitioning, so the skew/salting strategy the north rule demands
+can't be controlled. Rolling the ~40 lines ourselves keeps every shuffle
+explicit and the whole computation inside whole-stage codegen (no Python
+crossing at all for signatures or band keys).
+
+Scheme: word shingles → per-shingle 31-bit base hash (xxhash64 mod p) →
+k universal-hash permutations ``(a_i · h + b_i) mod p`` (a_i, b_i drawn
+from a fixed seeded PRNG — deterministic across runs and cluster sizes)
+→ signature = per-permutation min → b bands of r rows, each band hashed
+to one blocking key. Two docs with shingle-Jaccard s collide on ≥1 band
+with probability 1 − (1 − s^r)^b.
+
+Reference analogue: the EAN variant index ("transform the INDEX, not the
+query", core/data_source.py:117-169) — the same expand-one-side-into-
+variant-keys trick, lifted from zero-padding variants to LSH band keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# Mersenne prime 2^31 − 1: products a·h stay < 2^62, safe for ANSI longs.
+MERSENNE_P = 2_147_483_647
+
+
+def _coeffs(k: int, seed: int) -> tuple[list[int], list[int]]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE_P, size=k).tolist()
+    b = rng.randint(0, MERSENNE_P, size=k).tolist()
+    return a, b
+
+
+def tokens_expr(text: Column) -> Column:
+    """Lowercased whitespace tokens (empty strings filtered)."""
+    return F.filter(
+        F.split(F.lower(text.cast("string")), r"\s+"), lambda t: t != ""
+    )
+
+
+def word_shingles_expr(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string>; docs shorter than n words
+    yield a single shingle of the whole text (never an empty set)."""
+    toks = tokens_expr(text)
+    joined = F.array_join(toks, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(F.size(toks) <= n, F.array(joined)).otherwise(grams)
+
+
+def shingle_hashes_expr(shingles: Column) -> Column:
+    """array<long> of 31-bit base hashes, one per distinct shingle."""
+    return F.transform(
+        F.array_distinct(shingles), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
+    )
+
+
+def minhash_signature_expr(shingle_hashes: Column, k: int = 64, seed: int = 1337) -> Column:
+    """array<long> MinHash signature of length k, fully JVM-side.
+
+    NOTE: correct but slow for large k — the expression tree holds k
+    array-transforms and Catalyst re-inlines it wherever the signature is
+    referenced. Production path is ``minhash_signature_udf`` (one Arrow
+    batch crossing, numpy mins); this expression form is kept as the
+    cross-validation oracle and for small k.
+    """
+    a, b = _coeffs(k, seed)
+
+    def perm(ai: int, bi: int):
+        return lambda h: F.pmod(F.lit(ai) * h + F.lit(bi), F.lit(MERSENNE_P))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_hashes, perm(a[i], b[i])))
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_signature_udf(k: int = 64, seed: int = 1337):
+    """Arrow-batched numpy MinHash: shingle-hash array<long> → signature
+    array<long>. One (k × n_shingles) broadcasted min per row — the
+    vectorized fast path for the blocking stage."""
+    a, b = _coeffs(k, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(hs: pd.Series) -> pd.Series:  # pragma: no cover - executor side
+        av = np.asarray(a, dtype=np.int64)[:, None]
+        bv = np.asarray(b, dtype=np.int64)[:, None]
+        empty = np.full(k, MERSENNE_P - 1, dtype=np.int64)
+
+        def one(h):
+            if h is None or len(h) == 0:
+                return empty
+            hv = np.asarray(h, dtype=np.int64)[None, :]
+            return ((av * hv + bv) % MERSENNE_P).min(axis=1)
+
+        return hs.map(one)
+
+    return _sig
+
+
+def lsh_band_keys_expr(signature: Column, bands: int = 16, rows: int = 4) -> Column:
+    """array<string> of ``lsh:<band>:<hash>`` blocking keys (b·r must equal
+    the signature length)."""
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"lsh:{j}:"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",", *[F.slice(signature, j * rows + 1, rows).cast("array<string>")]
+                    ),
+                    F.lit(j),
+                ).cast("string"),
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def jaccard_tokens_expr(a: Column, b: Column) -> Column:
+    """Exact token-set Jaccard of two string-array columns (JVM-side)."""
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(da, db)).cast("double")
+    union = F.size(F.array_union(da, db)).cast("double")
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)

@@ -1,0 +1,257 @@
+"""The reference's merge semantics as Catalyst expressions.
+
+Write modes (core/mapping.py:11-19, decision table core/matcher.py:441-487),
+conditional rule operators (core/mapping.py:40-127), change-type taxonomy
+(core/matcher.py:17-24) — each a pure ``(current, new) → Column`` /
+predicate builder, so an entire mapping chain compiles into one Spark
+projection (no UDFs, no shuffles). Mapping priority order (core/
+mapping.py:318-323) is preserved by folding mappings sequentially: later
+mappings see earlier writes, exactly like the reference's in-place row
+loop.
+
+Everything is stringly-typed on purpose: the reference compares
+``str(current) != str(new)`` and treats a sentinel list as empty; those
+exact semantics are reproduced (SURVEY §2.9 hard part (d) — drifting here
+silently changes F1/lineage).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datamatcher_spark.norm.keys import is_empty_expr, pystrip_expr
+from datamatcher_spark.norm.transforms import template_expr, transform_expr
+
+
+class WriteMode(str, Enum):
+    OVERWRITE = "overwrite"
+    FILL_EMPTY = "fill_empty"
+    APPEND = "append"
+    OVERWRITE_IF_DIFFERENT = "diff"
+    OVERWRITE_IF_LONGER = "longer"
+    OVERWRITE_IF_NOT_EMPTY = "not_empty"
+
+
+class ChangeType(str, Enum):
+    UNCHANGED = "unchanged"
+    NEW = "new"
+    CHANGED = "changed"
+    NO_MATCH = "no_match"
+    CONFLICT = "conflict"
+    SKIPPED = "skipped"
+
+
+def _str(c: Column) -> Column:
+    return c.cast("string")
+
+
+def _neq(cur: Column, new: Column) -> Column:
+    """str(current) != str(new) with Python-ish null handling: the
+    reference stringifies both sides ('None' vs value), so null != value."""
+    return ~_str(cur).eqNullSafe(_str(new))
+
+
+def should_write_expr(cur: Column, new: Column, mode: WriteMode) -> tuple[Column, Column]:
+    """(write?, change_type) column pair for a write mode — the decision
+    table of core/matcher.py:441-487, row for row."""
+    cur_empty = is_empty_expr(cur)
+    new_empty = is_empty_expr(new)
+    t = lambda ct: F.lit(ct.value)  # noqa: E731
+
+    if mode == WriteMode.OVERWRITE:
+        write = cur_empty | _neq(cur, new)
+        change = F.when(cur_empty, t(ChangeType.NEW)).when(
+            _neq(cur, new), t(ChangeType.CHANGED)
+        ).otherwise(t(ChangeType.UNCHANGED))
+    elif mode == WriteMode.FILL_EMPTY:
+        write = cur_empty & ~new_empty
+        change = F.when(write, t(ChangeType.NEW)).otherwise(t(ChangeType.UNCHANGED))
+    elif mode == WriteMode.APPEND:
+        write = ~new_empty
+        change = F.when(~new_empty & cur_empty, t(ChangeType.NEW)).when(
+            ~new_empty, t(ChangeType.CHANGED)
+        ).otherwise(t(ChangeType.UNCHANGED))
+    elif mode == WriteMode.OVERWRITE_IF_DIFFERENT:
+        write = _neq(cur, new)
+        change = F.when(write & cur_empty, t(ChangeType.NEW)).when(
+            write, t(ChangeType.CHANGED)
+        ).otherwise(t(ChangeType.UNCHANGED))
+    elif mode == WriteMode.OVERWRITE_IF_LONGER:
+        # len(str(new) if new else "") — Python falsiness: None/'' → ''
+        ln = F.when(new.isNull() | (_str(new) == ""), F.lit(0)).otherwise(
+            F.length(_str(new))
+        )
+        lc = F.when(cur.isNull() | (_str(cur) == ""), F.lit(0)).otherwise(
+            F.length(_str(cur))
+        )
+        write = ln > lc
+        change = F.when(write & cur_empty, t(ChangeType.NEW)).when(
+            write, t(ChangeType.CHANGED)
+        ).otherwise(t(ChangeType.UNCHANGED))
+    elif mode == WriteMode.OVERWRITE_IF_NOT_EMPTY:
+        write = ~new_empty & (cur_empty | _neq(cur, new))
+        change = F.when(~new_empty & cur_empty, t(ChangeType.NEW)).when(
+            write, t(ChangeType.CHANGED)
+        ).otherwise(t(ChangeType.UNCHANGED))
+    else:
+        raise ValueError(f"unknown write mode: {mode}")
+    return write, change
+
+
+def apply_write_mode(cur: Column, new: Column, mode: WriteMode,
+                     append_separator: str = " | ") -> tuple[Column, Column]:
+    """(result_value, change_type). APPEND concatenates like the reference
+    (core/matcher.py:352-356): both non-empty → 'cur<sep>new'."""
+    write, change = should_write_expr(cur, new, mode)
+    if mode == WriteMode.APPEND:
+        value = F.when(
+            write & ~is_empty_expr(cur),
+            F.concat(_str(cur), F.lit(append_separator), _str(new)),
+        ).when(write, _str(new)).otherwise(_str(cur))
+    else:
+        value = F.when(write, _str(new)).otherwise(_str(cur))
+    return value, change
+
+
+class RuleOperator(str, Enum):
+    EQUALS = "equals"
+    NOT_EQUALS = "not_equals"
+    CONTAINS = "contains"
+    NOT_CONTAINS = "not_contains"
+    STARTS_WITH = "starts_with"
+    ENDS_WITH = "ends_with"
+    IS_EMPTY = "is_empty"
+    IS_NOT_EMPTY = "is_not_empty"
+    GREATER_THAN = "gt"
+    LESS_THAN = "lt"
+    REGEX_MATCH = "regex"
+
+
+def rule_predicate(op: RuleOperator, c: Column, value: str) -> Column:
+    """Case-insensitive stringly predicates — core/mapping.py:82-127.
+    The reference stringifies with '' for None (check_str = '' if null)."""
+    s = F.coalesce(_str(c), F.lit(""))
+    low = F.lower(s)
+    v = value.lower()
+    if op == RuleOperator.EQUALS:
+        return low == F.lit(v)
+    if op == RuleOperator.NOT_EQUALS:
+        return low != F.lit(v)
+    if op == RuleOperator.CONTAINS:
+        return low.contains(v) if v else F.lit(True)
+    if op == RuleOperator.NOT_CONTAINS:
+        return ~low.contains(v) if v else F.lit(False)
+    if op == RuleOperator.STARTS_WITH:
+        return low.startswith(v)
+    if op == RuleOperator.ENDS_WITH:
+        return low.endswith(v)
+    if op == RuleOperator.IS_EMPTY:
+        return c.isNull() | (pystrip_expr(c) == "")
+    if op == RuleOperator.IS_NOT_EMPTY:
+        return c.isNotNull() & (pystrip_expr(c) != "")
+    if op == RuleOperator.GREATER_THAN:
+        # float-parse both sides; unparseable → False (mapping.py:111-115)
+        return F.coalesce(s.try_cast("double") > F.lit(value).try_cast("double"),
+                          F.lit(False))
+    if op == RuleOperator.LESS_THAN:
+        return F.coalesce(s.try_cast("double") < F.lit(value).try_cast("double"),
+                          F.lit(False))
+    if op == RuleOperator.REGEX_MATCH:
+        return s.rlike(f"(?i){value}")
+    raise ValueError(f"unknown rule operator: {op}")
+
+
+@dataclass
+class RuleCondition:
+    column: str
+    operator: RuleOperator
+    value: str = ""
+    is_source_column: bool = True
+
+    def to_predicate(self, col_for: Callable[[str, bool], Column]) -> Column:
+        return rule_predicate(self.operator, col_for(self.column, self.is_source_column),
+                              self.value)
+
+
+@dataclass
+class ColumnMapping:
+    """Declarative merge instruction — core/mapping.py:149-177 lifted to a
+    Column-expression compiler."""
+
+    source_column: str = ""
+    target_column: str = ""
+    write_mode: WriteMode = WriteMode.OVERWRITE
+    transform: Optional[str] = None
+    append_separator: str = " | "
+    priority: int = 0
+    enabled: bool = True
+    output_name: str = ""
+    source_template: str = ""
+    conditions: Sequence[RuleCondition] = field(default_factory=tuple)
+    condition_logic: str = "AND"
+
+    def source_value(self, src_col: Callable[[str], Column]) -> Column:
+        if self.source_template:
+            val = template_expr(self.source_template, src_col)
+        else:
+            val = src_col(self.source_column)
+        return transform_expr(self.transform, val)
+
+    def condition_predicate(self, src_col: Callable[[str], Column],
+                            tgt_col: Callable[[str], Column]) -> Column:
+        if not self.conditions:
+            return F.lit(True)
+        preds = [
+            c.to_predicate(lambda name, is_src: src_col(name) if is_src else tgt_col(name))
+            for c in self.conditions
+        ]
+        combined = preds[0]
+        for p in preds[1:]:
+            combined = (combined | p) if self.condition_logic == "OR" else (combined & p)
+        return combined
+
+
+def apply_mappings(
+    joined: DataFrame,
+    mappings: Sequence[ColumnMapping],
+    *,
+    src_prefix: str = "src_",
+    matched: Column | None = None,
+) -> DataFrame:
+    """Fold a mapping chain over an enrichment-joined DataFrame.
+
+    ``joined`` holds base columns plus source columns prefixed with
+    ``src_prefix`` (null when unmatched). Mappings run in priority order;
+    each emits ``<target>`` (merged value) and ``__change_<target>``
+    lineage. Unmatched rows keep their values with NO_MATCH lineage
+    (core/matcher.py:226-229).
+    """
+    if matched is None:
+        matched = F.lit(True)
+    df = joined
+    for m in sorted([m for m in mappings if m.enabled], key=lambda m: m.priority):
+        src = lambda name: F.col(src_prefix + name)  # noqa: E731
+        tgt = lambda name: F.col(name)  # noqa: E731
+        new_val = m.source_value(src)
+        cond = m.condition_predicate(src, tgt)
+        target = m.target_column
+        cur = F.col(target) if target in df.columns else F.lit(None).cast("string")
+        value, change = apply_write_mode(cur, new_val, m.write_mode, m.append_separator)
+        out_name = m.output_name or target
+        df = df.withColumn(
+            out_name,
+            F.when(~matched, cur.cast("string")).when(cond, value).otherwise(
+                cur.cast("string")
+            ),
+        ).withColumn(
+            f"__change_{out_name}",
+            F.when(~matched, F.lit(ChangeType.NO_MATCH.value))
+            .when(cond, change)
+            .otherwise(F.lit(ChangeType.SKIPPED.value)),
+        )
+    return df

@@ -1,0 +1,102 @@
+"""Stage 1 — deterministic blocking with explicit skew handling.
+
+pages(url, warc_ts, html, text, lang) →
+  features(url, title_norm, tokens)                      [cached features]
+  blocks(block_key, url)                                 [exploded keys]
+
+Block keys per row: the normalized domain (``dom:<host>``) and b LSH band
+keys (``lsh:<band>:<hash>``) over MinHash signatures of word shingles —
+the web-scale analogue of the reference's normalized-business-key +
+EAN-variant index (core/data_source.py:117-202): expand the cheap side
+into every key under which a match could appear, then hash-join.
+
+Skew policy (SURVEY §4.1): a head domain like a big news site would make
+the block-local self-join quadratic. Blocks over the size cap are
+*truncated out of the pair-generation path and logged to lineage* —
+near-dups inside them are still recovered through their LSH band keys,
+which group by content, not domain, and have naturally bounded size
+(band cap logged the same way). The surviving block table is emitted via
+a salted repartition — ``repartition(hash(block_key, salt))`` — so one
+hot key cannot pin a whole shuffle partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datamatcher_spark.functions.minhash import (
+    lsh_band_keys_expr,
+    minhash_signature_udf,
+    shingle_hashes_expr,
+    tokens_expr,
+    word_shingles_expr,
+)
+from datamatcher_spark.norm.keys import norm_domain_expr, normalize_for_fuzzy_expr
+from datamatcher_spark.plans.config import PipelineConfig
+
+TITLE_RE = r"(?is)<title>(.*?)</title>"
+
+
+def features(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Scoring features, computed once: normalized title + text tokens."""
+    df = pages
+    if cfg.langs:
+        df = df.filter(F.col("lang").isin(list(cfg.langs)))
+    title = F.regexp_extract(F.col("html").cast("string"), TITLE_RE, 1)
+    return df.select(
+        "url",
+        normalize_for_fuzzy_expr(title).alias("title_norm"),
+        tokens_expr(F.col("text")).alias("tokens"),
+        F.col("text"),
+    )
+
+
+def block_keys(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Exploded (block_key, url) pairs — domain + LSH band keys."""
+    df = pages
+    if cfg.langs:
+        df = df.filter(F.col("lang").isin(list(cfg.langs)))
+    sig_udf = minhash_signature_udf(k=cfg.minhash_k, seed=cfg.minhash_seed)
+    # layered projections: shingle hashes (JVM) → signature (one Arrow
+    # batch crossing, numpy) → band keys (JVM). CollapseProject keeps the
+    # non-cheap stages separate, so nothing is recomputed per band.
+    df = df.withColumn(
+        "__hs", shingle_hashes_expr(word_shingles_expr(F.col("text"), cfg.shingle_words))
+    ).withColumn("__sig", sig_udf(F.col("__hs")))
+    keys = lsh_band_keys_expr(F.col("__sig"), cfg.lsh_bands, cfg.lsh_rows)
+    if cfg.use_domain_blocks:
+        keys = F.concat(
+            F.array(F.concat(F.lit("dom:"), norm_domain_expr(F.col("url")))), keys
+        )
+    return df.select(F.explode(keys).alias("block_key"), F.col("url"))
+
+
+def truncate_oversized(blocks: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
+    """Split the block table into (kept, truncated-block census).
+
+    The census (block_key, size) of dropped blocks is written to lineage —
+    truncation is never silent (SURVEY §7 hard part (a)).
+    """
+    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("block_size"))
+    cap = F.when(
+        F.col("block_key").startswith("dom:"), F.lit(cfg.max_block_size)
+    ).otherwise(F.lit(cfg.max_band_size))
+    sizes = sizes.withColumn("oversized", F.col("block_size") > cap)
+    truncated = sizes.filter("oversized").select("block_key", "block_size")
+    kept = (
+        blocks.join(F.broadcast(truncated.select("block_key")), "block_key", "left_anti")
+    )
+    return kept, truncated
+
+
+def salted_repartition(blocks: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Spread hot block keys across shuffle partitions: partition by
+    (block_key, salt) where salt = hash(url) — rows of one key land on
+    many partitions for the downstream per-key self-join, which AQE's
+    skew-join splitting then balances."""
+    n = cfg.salt_shuffle_partitions or int(
+        blocks.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    salt = F.pmod(F.xxhash64("url"), F.lit(16)).alias("_salt")
+    return blocks.repartition(n, F.col("block_key"), salt).drop("_salt")

@@ -1,0 +1,75 @@
+"""Stage 2 — candidate-pair generation + vectorized scoring.
+
+blocks(block_key, url) → pairs(url_a, url_b) → edges(url_a, url_b, score)
+
+Pair generation is a block-local self-join with canonical ordering
+(``a.url < b.url`` — the dedup trick SURVEY §2.3 maps from the
+reference's duplicate-group probe, core/data_source.py:231-270), then a
+``distinct`` so a pair blocked by several keys (domain AND a band) is
+scored once. Features are joined onto the slim pair table afterwards —
+pairs carry two strings, not two documents, through the wide shuffle.
+
+Scoring mirrors the reference's fuzzy fallback (J4, utils/
+fuzzy_matcher.py:50-100) at scale: cheap prefilters first (length delta,
+the reference's candidate prune at :79-87), then batched Jaro-Winkler on
+normalized titles (Arrow UDF) and exact token-set Jaccard on text tokens
+(JVM). An edge is accepted when either signal clears its threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datamatcher_spark.functions.minhash import jaccard_tokens_expr
+from datamatcher_spark.functions.similarity import jaro_winkler_udf
+from datamatcher_spark.plans.config import PipelineConfig
+
+
+def candidate_pairs(blocks: DataFrame) -> DataFrame:
+    """Distinct canonical (url_a < url_b) pairs sharing ≥1 block key."""
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("a.url") < F.col("b.url"))
+        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+        .distinct()
+    )
+
+
+def score_pairs(pairs: DataFrame, feats: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Join features onto pairs and score. Returns every scored pair with
+    its score and accept flag (lineage wants the full histogram, not just
+    accepted edges)."""
+    fa = feats.select(
+        F.col("url").alias("url_a"),
+        F.col("title_norm").alias("title_a"),
+        F.col("tokens").alias("tokens_a"),
+    )
+    fb = feats.select(
+        F.col("url").alias("url_b"),
+        F.col("title_norm").alias("title_b"),
+        F.col("tokens").alias("tokens_b"),
+    )
+    scored = (
+        pairs.join(fa, "url_a").join(fb, "url_b")
+        # cheap prune before the Arrow UDF — Catalyst pushes this below
+        # the Python stage so pruned pairs never cross to Python
+        .filter(
+            F.abs(F.length("title_a") - F.length("title_b"))
+            <= cfg.length_delta_prefilter
+        )
+        .withColumn("jw_title", jaro_winkler_udf("title_a", "title_b"))
+        .withColumn(
+            "jaccard_text", jaccard_tokens_expr(F.col("tokens_a"), F.col("tokens_b"))
+        )
+        .withColumn("score", F.greatest("jw_title", "jaccard_text"))
+        .withColumn(
+            "accepted",
+            (F.col("jw_title") >= cfg.jw_title_threshold)
+            | (F.col("jaccard_text") >= cfg.jaccard_text_threshold),
+        )
+        .select("url_a", "url_b", "jw_title", "jaccard_text", "score", "accepted")
+    )
+    return scored
