@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship near-dup clustering over the sf0.001
+documents table. ``queries()`` / ``oracle_sql()`` — one entry per
+implemented operator from SURVEY.md §2 plus the training-data operator
+families (dedup / similarity search / text analysis); each Spark
+DataFrame query is paired with ANSI SQL DuckDB runs on the same parquet
+for row-count + schema + value-hash comparison. Non-SQL-expressible ops
+(seeded MinHash/SimHash, Arrow UDF scoring) ship without an oracle →
+rows-only check + pytest oracles in tests/.
+
+Implementation lives in datamatcher_spark.queries_catalog; this module
+stays a thin adapter so the driver import is cheap.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from datamatcher_spark.queries_catalog import CATALOG, flagship  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: fingerprint + MinHash near-dup clustering of the sf0.001
+    documents table (runs the blocking → pair → cluster path end to end)."""
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: entry.spark for name, entry in CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: entry.sql for name, entry in CATALOG.items() if entry.sql is not None
+    }

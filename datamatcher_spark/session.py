@@ -17,6 +17,31 @@ from pyspark.sql import SparkSession
 # package root on PYTHONPATH before workers are spawned.
 _PKG_ROOT = str(Path(__file__).resolve().parent.parent)
 
+_SHIPPED: set[str] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make ``datamatcher_spark`` importable on executors of ANY session —
+    including ones we didn't build (the correctness driver creates its
+    own). Equivalent of ``spark-submit --py-files``: zip the package once
+    and ``addPyFile`` it; executors unpack it onto their sys.path.
+    Module-level pandas UDFs are pickled by reference, so this is load-
+    bearing, not an optimization."""
+    import tempfile
+    import zipfile
+
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.gettempdir()) / f"datamatcher_spark_{app_id}.zip"
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                zf.write(p, f"datamatcher_spark/{p.relative_to(pkg_dir)}")
+    spark.sparkContext.addPyFile(str(zip_path))
+    _SHIPPED.add(app_id)
+
 
 def get_spark(
     app_name: str = "datamatcher-spark",

@@ -1,0 +1,111 @@
+"""Dedup family on constructed corpora with known duplicate structure,
+plus the real documents testdata table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamatcher_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    fingerprint_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_duplicates,
+    simhash_near_duplicates,
+)
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog and runs far away today"),
+    (2, "The quick brown fox jumps over the lazy dog and runs far away today"),  # exact dup of 1
+    (3, "the  QUICK brown fox Jumps over the lazy dog and runs far away, today"),  # fmt variant
+    (4, "The quick brown fox jumps over the lazy dog and runs away today"),  # near dup (drop 'far')
+    (5, "Spark executes declarative dataframe plans with whole stage codegen runtime"),
+    (6, "Totally unrelated content about cooking pasta with tomato sauce basil"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    out = {r.id: r for r in exact_duplicates(docs, "doc_id", "text").collect()}
+    assert out[2].is_duplicate and out[2].keep_id == 1
+    assert not out[1].is_duplicate
+    assert out[1].group_size == 2
+    assert not out[3].is_duplicate  # punctuation differs → not exact
+
+
+def test_fingerprint_duplicates(docs):
+    out = {r.id: r for r in fingerprint_duplicates(docs, "doc_id", "text").collect()}
+    # 1, 2 AND 3 collide (case/punct/word-order insensitive)
+    assert out[3].is_duplicate and out[3].keep_id == 1
+    assert not out[4].is_duplicate  # token actually removed → distinct
+
+
+def test_minhash_near_duplicates(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", shingle_words=2, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 4) in pairs  # near dup recovered
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_simhash_near_duplicates(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (1, 4) in pairs
+    assert all(5 not in k and 6 not in k for k in pairs)
+
+
+def test_ngram_jaccard_duplicates(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_duplicates(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and (1, 4) in pairs
+    assert not any(6 in p for p in pairs)
+
+
+def test_embedding_near_duplicates(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    # exact mode (single bucket)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(
+            df, "vec_id", "embedding", threshold=0.99, n_planes=0
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
+    # LSH mode still finds the planted pair
+    pairs_lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(
+            df, "vec_id", "embedding", threshold=0.99, n_planes=6, dims=4
+        ).collect()
+    }
+    assert (1, 2) in pairs_lsh
+
+
+def test_on_real_documents_table(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = exact_duplicates(docs, "doc_id", "text")
+    assert out.count() == docs.count()
+    nd = minhash_near_duplicates(docs, "doc_id", "text", jaccard_threshold=0.8)
+    # symmetric, canonical, self-free
+    assert nd.filter("id_a >= id_b").count() == 0

@@ -1,0 +1,62 @@
+"""Driver-contract smoke: entry() produces rows with a stable schema; the
+catalog structure is sound; a sample of oracle pairs agrees with DuckDB
+at sf0.001 (the full sweep runs via scripts/check_oracles.py at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from scripts.check_oracles import TABLES, canon_rows
+
+SF = "/root/testdata/sf0.001"
+
+SAMPLE = [
+    "j2_enrich_left_join",
+    "write_mode_append",
+    "dedup_fingerprint",
+    "simsearch_topk",
+    "q1_pricing_summary",
+    "ean_variant_explode",
+]
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"doc_id", "cluster_id"}
+    # every doc assigned exactly once
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_catalog_structure():
+    qs = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+    assert len(qs) >= 40
+    assert set(sqls) <= set(qs)
+    # the genuinely non-SQL ops are the only ones without oracles
+    assert set(qs) - set(sqls) == {
+        "dedup_minhash_lsh", "dedup_simhash", "text_quality_langid",
+        "simsearch_ivf", "multimodal_features",
+    }
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_oracle_sample(spark, name):
+    qs = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+    sdf = qs[name](spark, SF)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    cur = con.execute(sqls[name])
+    d_cols = [d[0] for d in cur.description]
+    d_rows = cur.fetchall()
+    sc, sr = canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    dc, dr = canon_rows(d_cols, d_rows)
+    assert sc == dc
+    assert sr == dr
