@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Headline benchmark. Runs the representative query set at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Also runs the flagship 3-stage ER pipeline on a deterministic synthetic
+pages corpus sized to the SF and reports candidate-pairs-scored/sec
+(the BASELINE.md throughput metric). The N-vs-4N scaling experiment
+lives in scripts/bench_scaling.py (results in BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j2_enrich_left_join",
+    "j3_best_row_per_key",
+    "w2_topk_per_group",
+    "ean_variant_explode",
+    "write_mode_overwrite",
+    "a2_key_stats",
+    "events_hourly_agg",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "simsearch_topk",
+    "text_stats",
+    "text_quality_langid",
+    "text_extraction_chain",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+
+    from datamatcher_spark.queries_catalog import CATALOG
+    from datamatcher_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths before timing
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = CATALOG[name].spark
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # flagship ER pipeline on a synthetic corpus scaled to the SF
+    from datamatcher_spark.plans.config import PipelineConfig
+    from datamatcher_spark.plans.run import run_pipeline
+    from datamatcher_spark.sources.synth import generate_pages
+
+    n_docs = max(2000, int(sf * 200_000))
+    pages = generate_pages(spark, n_docs=n_docs, seed=42).cache()
+    pages.count()
+    work = tempfile.mkdtemp(prefix="bench_pipeline_")
+    t0 = time.monotonic()
+    res = run_pipeline(spark, pages, work, "bench", PipelineConfig())
+    pipeline_sec = round(time.monotonic() - t0, 3)
+    timings["er_pipeline"] = pipeline_sec
+    pairs_per_sec = (
+        res.counts["pairs_scored"] / (res.counts["score_wall_ms"] / 1000.0)
+        if res.counts.get("score_wall_ms")
+        else 0.0
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_plus_er_pipeline",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "er_docs": n_docs,
+                "er_pairs_scored": res.counts.get("pairs_scored"),
+                "er_pairs_scored_per_sec": round(pairs_per_sec, 1),
+                "er_clusters": res.counts.get("clusters"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

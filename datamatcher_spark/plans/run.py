@@ -64,23 +64,36 @@ def run_pipeline(
         t0 = time.monotonic()
         feats = features(pages, cfg)
         feats.write.mode("overwrite").parquet(feats_path)
-        raw_blocks = block_keys(pages, cfg)
-        kept, truncated = truncate_oversized(raw_blocks, cfg)
-        salted_repartition(kept, cfg).write.mode("overwrite").parquet(blocks_path)
+        # persist the raw block table: the size census and the kept-side
+        # anti-join both consume it, and recomputing it would run the
+        # MinHash signature UDF twice over the whole corpus
+        raw_blocks = block_keys(pages, cfg).persist()
+        try:
+            _, truncated_census = truncate_oversized(raw_blocks, cfg)
+            truncated = truncated_census.collect()  # tiny; needed twice below
+            truncated_df = spark.createDataFrame(
+                truncated or [], "block_key string, block_size long"
+            )
+            kept = raw_blocks.join(
+                F.broadcast(truncated_df.select("block_key")), "block_key", "left_anti"
+            )
+            salted_repartition(kept, cfg).write.mode("overwrite").parquet(blocks_path)
+        finally:
+            raw_blocks.unpersist()
         wall = int((time.monotonic() - t0) * 1000)
 
         blocks_df = spark.read.parquet(blocks_path)
         lineage = partition_lineage(blocks_df, block_col="block_key")
         mt.append(lineage, "block", wall)
         # truncated-block census: never silent (one lineage row per block)
-        trunc_rows = truncated.select(
+        trunc_rows = truncated_df.select(
             F.lit(None).cast("int").alias("partition_id"),
             F.col("block_key"),
             F.col("block_size").alias("pair_count"),
         )
         mt.append(trunc_rows, "block_truncated", wall)
         counts["blocks"] = blocks_df.count()
-        counts["truncated_blocks"] = truncated.count()
+        counts["truncated_blocks"] = len(truncated)
         mt.commit("block", **{k: counts[k] for k in ("blocks", "truncated_blocks")})
         stages_run.append("block")
 
