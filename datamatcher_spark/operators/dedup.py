@@ -83,9 +83,12 @@ def minhash_near_duplicates(
         tokens_expr(F.col(text_col)).alias("toks"),
         shingle_hashes_expr(word_shingles_expr(F.col(text_col), shingle_words)).alias("hs"),
     ).withColumn("sig", minhash_signature_udf(k, seed)(F.col("hs")))
+    # persist: the size census and BOTH sides of the self-join consume
+    # this — without it the signature UDF runs 4× over the corpus
+    # (verified via .explain: four ArrowEvalPython nodes collapse to one)
     banded = base.select(
         "id", "toks", F.explode(lsh_band_keys_expr(F.col("sig"), bands, rows)).alias("bk")
-    )
+    ).persist()
     # bound band blocks (identical boilerplate pages can make one band huge)
     sizes = banded.groupBy("bk").count().filter(F.col("count") > max_band_size)
     banded = banded.join(F.broadcast(sizes.select("bk")), "bk", "left_anti")
@@ -147,7 +150,8 @@ def simhash_near_duplicates(
         tokens_expr(F.col(text_col)), lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE_P))
     )
     base = df.select(F.col(id_col).alias("id"), token_hashes.alias("th"))
-    base = base.withColumn("simhash", simhash_udf(64, seed)(F.col("th"))).drop("th")
+    # persist: both self-join sides reuse the simhash UDF output
+    base = base.withColumn("simhash", simhash_udf(64, seed)(F.col("th"))).drop("th").persist()
     chunks = F.array(
         *[
             F.concat(F.lit(f"c{j}:"),
@@ -196,7 +200,7 @@ def ngram_jaccard_duplicates(
                 f"i -> substring(__norm, i + 1, {n}))"
             )
         ),
-    ).drop("__norm")
+    ).drop("__norm").persist()  # gram arrays are wide; build once
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, "bk")
@@ -255,7 +259,7 @@ def embedding_near_duplicates(
             ) >= 0).cast("int").cast("string")
             for p in range(n_planes)
         ]
-        base = base.withColumn("bk", F.concat(*bits))
+        base = base.withColumn("bk", F.concat(*bits)).persist()
     else:
         base = base.withColumn("bk", F.lit("all"))
     a, b = base.alias("a"), base.alias("b")

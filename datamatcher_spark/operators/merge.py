@@ -243,15 +243,19 @@ def apply_mappings(
         cur = F.col(target) if target in df.columns else F.lit(None).cast("string")
         value, change = apply_write_mode(cur, new_val, m.write_mode, m.append_separator)
         out_name = m.output_name or target
-        df = df.withColumn(
-            out_name,
-            F.when(~matched, cur.cast("string")).when(cond, value).otherwise(
-                cur.cast("string")
-            ),
-        ).withColumn(
-            f"__change_{out_name}",
-            F.when(~matched, F.lit(ChangeType.NO_MATCH.value))
-            .when(cond, change)
-            .otherwise(F.lit(ChangeType.SKIPPED.value)),
+        # one withColumns call: BOTH expressions bind against the pre-write
+        # row — a chained withColumn would re-resolve `cur` against the
+        # already-merged column and report every write as UNCHANGED
+        df = df.withColumns(
+            {
+                out_name: F.when(~matched, cur.cast("string"))
+                .when(cond, value)
+                .otherwise(cur.cast("string")),
+                f"__change_{out_name}": F.when(
+                    ~matched, F.lit(ChangeType.NO_MATCH.value)
+                )
+                .when(cond, change)
+                .otherwise(F.lit(ChangeType.SKIPPED.value)),
+            }
         )
     return df

@@ -82,6 +82,8 @@ def connected_components(
     for _ in range(max_iterations):
         iters += 1
         e = _small_star(_large_star(e)).localCheckpoint()
+        if iters == 1:
+            continue  # round 1 always changes something; skip the digest job
         digest = _edge_digest(e)
         if digest == prev:
             break

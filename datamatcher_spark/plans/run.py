@@ -21,7 +21,7 @@ from datamatcher_spark.plans.blocking import (
     salted_repartition,
     truncate_oversized,
 )
-from datamatcher_spark.plans.clustering import cluster_assignments
+from datamatcher_spark.plans.clustering import connected_components
 from datamatcher_spark.plans.config import PipelineConfig
 from datamatcher_spark.plans.lineage import MetricsTable, partition_lineage
 from datamatcher_spark.plans.scoring import candidate_pairs, score_pairs
@@ -116,8 +116,11 @@ def run_pipeline(
             "score",
             wall,
         )
-        counts["pairs_scored"] = scored_df.count()
-        counts["edges_accepted"] = scored_df.filter("accepted").count()
+        agg = scored_df.agg(
+            F.count("*").alias("n"), F.count_if("accepted").alias("acc")
+        ).collect()[0]
+        counts["pairs_scored"] = agg.n
+        counts["edges_accepted"] = agg.acc
         counts["score_wall_ms"] = wall
         mt.commit("score", **{k: counts[k] for k in
                               ("pairs_scored", "edges_accepted", "score_wall_ms")})
@@ -130,8 +133,21 @@ def run_pipeline(
     else:
         t0 = time.monotonic()
         edges = spark.read.parquet(edges_path).filter("accepted")
-        urls = pages.select("url")
-        clusters, cc_iters = cluster_assignments(urls, edges, cfg.max_cc_iterations)
+        # CC runs on 8-byte uids; urls are joined back once at the end
+        cc, cc_iters = connected_components(
+            edges.select(F.col("uid_a").alias("src"), F.col("uid_b").alias("dst")),
+            cfg.max_cc_iterations,
+        )
+        uid_url = spark.read.parquet(feats_path).select("uid", "url")
+        assigned = cc.select(F.col("node").alias("uid"),
+                             F.col("component").alias("cluster_id"))
+        clusters = (
+            uid_url.join(assigned, "uid", "left")
+            .select(
+                "url",
+                F.coalesce(F.col("cluster_id"), F.col("uid")).alias("cluster_id"),
+            )
+        )
         clusters.write.mode("overwrite").parquet(clusters_path)
         wall = int((time.monotonic() - t0) * 1000)
 

@@ -1014,6 +1014,66 @@ def q_multimodal(spark, sf_dir):
 
 
 @register(
+    "validation_number_soft",
+    """
+    WITH t AS (
+      SELECT CASE WHEN c_custkey % 7 = 0 THEN c_name
+                  ELSE CAST(c_acctbal AS VARCHAR) END AS mixed
+      FROM customer
+    )
+    SELECT 'mixed' AS column, 'number' AS expected_type,
+           count(*) FILTER (WHERE NOT (
+             mixed IS NULL OR trim(mixed) = ''
+             OR TRY_CAST(replace(trim(mixed), ',', '.') AS DOUBLE) IS NOT NULL
+           )) AS warning_count,
+           count(*) AS total_rows
+    FROM t
+    """,
+)
+def q_validation_number(spark, sf_dir):
+    from datamatcher_spark.operators.finalize import validation_warnings
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "mixed",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_name")).otherwise(
+            F.col("c_acctbal").cast("string")
+        ),
+    )
+    return validation_warnings(c, "mixed", "number")
+
+
+@register(
+    "validation_date_soft",
+    """
+    WITH t AS (
+      SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_orderpriority
+                  ELSE strftime(o_orderdate, '%Y-%m-%d') END AS d
+      FROM orders
+    )
+    SELECT 'd' AS column, 'date' AS expected_type,
+           count(*) FILTER (WHERE NOT (
+             d IS NULL OR trim(d) = ''
+             OR regexp_matches(trim(d), '^\\d{4}-\\d{2}-\\d{2}')
+             OR regexp_matches(trim(d), '^\\d{2}[./-]\\d{2}[./-]\\d{4}')
+             OR regexp_matches(trim(d), '^\\d{2}[./-]\\d{2}[./-]\\d{2}$')
+           )) AS warning_count,
+           count(*) AS total_rows
+    FROM t
+    """,
+)
+def q_validation_date(spark, sf_dir):
+    from datamatcher_spark.operators.finalize import validation_warnings
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "d",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_orderpriority")).otherwise(
+            F.date_format("o_orderdate", "yyyy-MM-dd")
+        ),
+    )
+    return validation_warnings(o, "d", "date")
+
+
+@register(
     "text_extraction_chain",
     """
     SELECT doc_id,

@@ -2,8 +2,9 @@
 """The BASELINE scaling experiment: identical ER pipeline job, identical
 synthetic input, at local[N] and local[4N] — throughput at both plus
 scaling efficiency (T_N / T_4N) / 4 (the sandbox proxy for N vs 4N
-executors; no real cluster here). Writes BENCH/scaling.json and is the
-source for the numbers in BENCH/BASELINE.md.
+executors; no real cluster here). Each level runs in its OWN subprocess
+so the JVMs are equally cold (a shared JVM gives the second run warm JIT
+and fakes the ratio). Writes BENCH/scaling.json.
 
 Usage: python scripts/bench_scaling.py [n_docs] [N]
 """
@@ -12,73 +13,121 @@ from __future__ import annotations
 
 import json
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = """
+import json, sys, tempfile, shutil, time
+sys.path.insert(0, {repo!r})
+from datamatcher_spark.plans.config import PipelineConfig
+from datamatcher_spark.plans.run import run_pipeline
+from datamatcher_spark.session import get_spark
+from datamatcher_spark.sources.synth import corpus_fingerprint, generate_pages
+
+cores, n_docs, seed = {cores}, {n_docs}, {seed}
+spark = get_spark(f"scaling-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=max(cores * 2, 8))
+spark.sparkContext.setLogLevel("ERROR")
+pages = generate_pages(spark, n_docs=n_docs, seed=seed,
+                       n_partitions=cores * 2).cache()
+n_rows = pages.count()
+fp = corpus_fingerprint(pages)
+
+work = tempfile.mkdtemp(prefix=f"scale{{cores}}_")
+t0 = time.monotonic()
+res = run_pipeline(spark, pages, work, f"scale{{cores}}", PipelineConfig())
+wall = time.monotonic() - t0
+out = dict(
+    cores=cores, rows=n_rows, corpus_fingerprint=fp, wall_sec=round(wall, 2),
+    pairs_scored=res.counts["pairs_scored"],
+    score_wall_ms=res.counts["score_wall_ms"],
+    pairs_per_sec_score_stage=round(
+        res.counts["pairs_scored"] / (res.counts["score_wall_ms"] / 1000.0), 1),
+    docs_per_sec_end_to_end=round(n_rows / wall, 1),
+    clusters=res.counts["clusters"],
+)
+shutil.rmtree(work, ignore_errors=True)
+print("SCALING_RESULT " + json.dumps(out))
+"""
 
 
 def run_once(cores: int, n_docs: int, seed: int = 42) -> dict:
-    # fresh JVM per parallelism level so nothing is shared
-    from datamatcher_spark.plans.config import PipelineConfig
-    from datamatcher_spark.plans.run import run_pipeline
-    from datamatcher_spark.session import get_spark
-    from datamatcher_spark.sources.synth import corpus_fingerprint, generate_pages
+    code = WORKER.format(repo=str(REPO), cores=cores, n_docs=n_docs, seed=seed)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=False
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("SCALING_RESULT "):
+            return json.loads(line[len("SCALING_RESULT "):])
+    raise RuntimeError(
+        f"worker at {cores} cores failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
 
-    spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]",
-                      shuffle_partitions=max(cores * 2, 8))
-    spark.sparkContext.setLogLevel("ERROR")
-    pages = generate_pages(spark, n_docs=n_docs, seed=seed,
-                           n_partitions=cores * 2).cache()
-    n_rows = pages.count()
-    fp = corpus_fingerprint(pages)
 
-    work = tempfile.mkdtemp(prefix=f"scale{cores}_")
-    t0 = time.monotonic()
-    res = run_pipeline(spark, pages, work, f"scale{cores}", PipelineConfig())
-    wall = time.monotonic() - t0
-    out = {
-        "cores": cores,
-        "rows": n_rows,
-        "corpus_fingerprint": fp,
-        "wall_sec": round(wall, 2),
-        "pairs_scored": res.counts["pairs_scored"],
-        "score_wall_ms": res.counts["score_wall_ms"],
-        "pairs_per_sec_score_stage": round(
-            res.counts["pairs_scored"] / (res.counts["score_wall_ms"] / 1000.0), 1
-        ),
-        "docs_per_sec_end_to_end": round(n_rows / wall, 1),
-        "clusters": res.counts["clusters"],
+def hardware_ceiling(n: int) -> dict:
+    """Pure-CPU parallel-scaling ceiling of THIS machine at N vs 4N
+    processes (no Spark, no JVM): virtualized vCPUs are often
+    oversubscribed, so even embarrassingly parallel work scales below
+    1.0. Pipeline efficiency must be read against this ceiling — it is
+    the maximum ANY code can achieve here."""
+    import multiprocessing as mp
+
+    def rate(procs: int) -> float:
+        t0 = time.monotonic()
+        with mp.Pool(procs) as p:
+            p.map(_burn, range(procs * 2))
+        return (procs * 2) / (time.monotonic() - t0)
+
+    lo, hi = rate(n), rate(4 * n)
+    return {
+        "procs_low": n, "procs_high": 4 * n,
+        "tasks_per_sec_low": round(lo, 2), "tasks_per_sec_high": round(hi, 2),
+        "ceiling_efficiency": round((hi / lo) / 4, 3),
     }
-    shutil.rmtree(work, ignore_errors=True)
-    spark.stop()
-    return out
+
+
+def _burn(_: int) -> None:
+    x = 0
+    for i in range(30_000_000):
+        x += i & 7
 
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
+    ceiling = hardware_ceiling(n)
     lo = run_once(n, n_docs)
     hi = run_once(4 * n, n_docs)
     assert lo["corpus_fingerprint"] == hi["corpus_fingerprint"], "inputs differ!"
     assert lo["clusters"] == hi["clusters"], "results differ across parallelism!"
 
     eff_e2e = (lo["wall_sec"] / hi["wall_sec"]) / 4
-    thr_lo = lo["docs_per_sec_end_to_end"]
-    thr_hi = hi["docs_per_sec_end_to_end"]
+    eff_score = (
+        hi["pairs_per_sec_score_stage"] / lo["pairs_per_sec_score_stage"]
+    ) / 4
     result = {
         "n_docs": n_docs,
+        "hardware_ceiling": ceiling,
         "low": lo,
         "high": hi,
-        "throughput_ratio": round(thr_hi / thr_lo, 3),
-        "scaling_efficiency": round(eff_e2e, 3),
+        "throughput_ratio_end_to_end": round(
+            hi["docs_per_sec_end_to_end"] / lo["docs_per_sec_end_to_end"], 3
+        ),
+        "scaling_efficiency_end_to_end": round(eff_e2e, 3),
+        "scaling_efficiency_score_stage": round(eff_score, 3),
+        "efficiency_vs_hardware_ceiling": round(
+            eff_e2e / ceiling["ceiling_efficiency"], 3
+        ) if ceiling["ceiling_efficiency"] else None,
         "target": 0.8,
         "passes": eff_e2e >= 0.8,
     }
-    out = Path(__file__).resolve().parent.parent / "BENCH" / "scaling.json"
+    out = REPO / "BENCH" / "scaling.json"
     out.parent.mkdir(exist_ok=True)
     out.write_text(json.dumps(result, indent=2))
     print(json.dumps(result, indent=2))
