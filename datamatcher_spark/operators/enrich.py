@@ -127,9 +127,28 @@ def fuzzy_enrich_candidates(
 
     b = base.select(F.lower(probe_key_expr(F.col(base_key))).alias("probe")).distinct()
     s = source.select(F.lower(probe_key_expr(F.col(source_key))).alias("cand")).distinct()
-    pruned = b.crossJoin(s).filter(
-        (F.substring("probe", 1, 1) == F.substring("cand", 1, 1))
-        | (F.abs(F.length("probe") - F.length("cand")) <= 2)
+    # The reference prunes with `first char matches OR |len delta| ≤ 2`
+    # (utils/fuzzy_matcher.py:79-87). A crossJoin + filter would be a
+    # cartesian scan at scale; instead each disjunct becomes an
+    # equi-join blocking key — key side exploded to (first-char) ∪
+    # (length-bucket ± neighbors), then a hash join per key. Same
+    # candidate set, zero cartesian products.
+    def keyed(df: DataFrame, col: str, expand: bool) -> DataFrame:
+        first = F.concat(F.lit("c:"), F.substring(col, 1, 1))
+        if expand:  # probe side carries one key per admissible length
+            lens = F.array(*[
+                F.concat(F.lit("l:"), (F.length(col) + d).cast("string"))
+                for d in (-2, -1, 0, 1, 2)
+            ])
+        else:
+            lens = F.array(F.concat(F.lit("l:"), F.length(col).cast("string")))
+        return df.withColumn("__fk", F.explode(F.concat(F.array(first), lens)))
+
+    pruned = (
+        keyed(b, "probe", expand=True)
+        .join(keyed(s, "cand", expand=False), "__fk")
+        .drop("__fk")
+        .dropDuplicates(["probe", "cand"])
     )
     if block_expr is not None:
         pruned = pruned.filter(block_expr)
