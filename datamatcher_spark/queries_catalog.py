@@ -696,6 +696,50 @@ def q_events_hourly(spark, sf_dir):
 
 
 @register(
+    "events_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ), sessions AS (
+      SELECT user_id, ts, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_type) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + cumulative sum
+    over a per-user window — the standard large-scale formulation (one
+    shuffle on user_id covers both windows and the final groupBy)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = secs - F.lag(secs).over(w)
+    marked = e.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_type")
+        ),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
     "events_json_extract",
     """
     SELECT event_id, CAST(json_extract(props, '$.k') AS VARCHAR) AS k_value
