@@ -740,6 +740,49 @@ def q_events_sessionize(spark, sf_dir):
 
 
 @register(
+    "events_asof_join",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), errors AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+    )
+    SELECT c.event_id, c.user_id,
+           e.value AS asof_value, e.ts AS asof_ts
+    FROM clicks c ASOF LEFT JOIN errors e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def q_events_asof(spark, sf_dir):
+    """Most recent prior 'error' for each 'click', per user — the as-of
+    join Spark lacks, as a one-shuffle window composition."""
+    from datamatcher_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    errors = ev.filter("event_type = 'error'").select("user_id", "ts", "value")
+    return asof_join(
+        clicks, errors, ["user_id"], "ts", "ts", right_payload=["value"]
+    ).select("event_id", "user_id", "asof_value", "asof_ts")
+
+
+@register(
+    "rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "events_json_extract",
     """
     SELECT event_id, CAST(json_extract(props, '$.k') AS VARCHAR) AS k_value
