@@ -15,6 +15,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+
+def _null_struct(df: DataFrame, cols: list[str]):
+    """Typed NULL struct literal matching ``df``'s columns — built from the
+    actual schema objects (simpleString round-trips lose nested/char
+    types)."""
+    t = StructType(
+        [StructField(c, df.schema[c].dataType, True) for c in cols]
+    )
+    return F.lit(None).cast(t)
 
 
 def asof_join(
@@ -36,19 +47,13 @@ def asof_join(
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
-        F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}"
-                                 for c in payload + [right_time]) + ">"
-        ).alias("__r"),
+        _null_struct(right, payload + [right_time]).alias("__r"),
     )
     r_tag = right.select(
         *key_cols,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:{left.schema[c].dataType.simpleString()}"
-                                 for c in left.columns) + ">"
-        ).alias("__l"),
+        _null_struct(left, list(left.columns)).alias("__l"),
         F.struct(*[F.col(c) for c in payload + [right_time]]).alias("__r"),
     )
     # right rows sort before left rows at equal times (__is_left asc), so

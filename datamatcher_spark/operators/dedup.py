@@ -139,28 +139,62 @@ def simhash_near_duplicates(
     id_col: str,
     text_col: str,
     *,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
     seed: int = 7,
+    max_block_size: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit simhash over token hashes, blocked by
-    the four 16-bit chunks (pigeonhole: hamming ≤ 6 with 4 chunks → at
-    least one chunk may still differ; 4 chunks guarantee recall for
-    hamming ≤ 3, probabilistic above), verified with exact bit_count."""
+    """SimHash near-dup pairs with EXACT recall for the advertised
+    threshold: 64-bit simhash over token hashes, blocked with the
+    chunk-combination scheme of Manku/Jain/Das Sarma (WWW'07 near-dup
+    detection). Split the fingerprint into ``n_chunks`` disjoint chunks;
+    if hamming(a, b) ≤ h then ≥ (n_chunks − h) chunks are identical
+    (pigeonhole), so every combination of (n_chunks − h) chunks is a
+    blocking key — pairs within the threshold ALWAYS share ≥ 1 key
+    (round-1 single-chunk blocking only guaranteed h ≤ n_chunks − 1 and
+    silently under-reported above it). Default n_chunks = h + 2 →
+    C(h+2, 2) keys/doc of 2·(64/(h+2)) bits: h=3 → 10 keys of ~25 bits,
+    the key space stays fine-grained enough that bucket sizes are content-
+    bounded at web scale. ``max_block_size`` optionally truncates
+    degenerate buckets (boilerplate fingerprints) at the cost of the
+    exactness guarantee inside those buckets — truncation is the caller's
+    explicit, logged choice as in the minhash path."""
+    from itertools import combinations
+
+    if n_chunks is None:
+        n_chunks = max_hamming + 2
+    if n_chunks <= max_hamming:
+        raise ValueError("n_chunks must exceed max_hamming (pigeonhole)")
     token_hashes = F.transform(
         tokens_expr(F.col(text_col)), lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE_P))
     )
     base = df.select(F.col(id_col).alias("id"), token_hashes.alias("th"))
     # persist: both self-join sides reuse the simhash UDF output
     base = base.withColumn("simhash", simhash_udf(64, seed)(F.col("th"))).drop("th").persist()
-    chunks = F.array(
+
+    # chunk j covers bits [off_j, off_j + width_j): 64 bits spread as
+    # evenly as possible over n_chunks
+    widths = [64 // n_chunks + (1 if j < 64 % n_chunks else 0) for j in range(n_chunks)]
+    offsets = [sum(widths[:j]) for j in range(n_chunks)]
+
+    def chunk_str(j: int) -> Column:
+        return (
+            F.shiftrightunsigned(F.col("simhash"), offsets[j])
+            .bitwiseAND(F.lit((1 << widths[j]) - 1))
+            .cast("string")
+        )
+
+    need = n_chunks - max_hamming
+    keys = F.array(
         *[
-            F.concat(F.lit(f"c{j}:"),
-                     F.shiftrightunsigned(F.col("simhash"), j * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).cast("string"))
-            for j in range(4)
+            F.concat_ws("|", F.lit(f"m{ci}"), *[chunk_str(j) for j in combo])
+            for ci, combo in enumerate(combinations(range(n_chunks), need))
         ]
     )
-    banded = base.withColumn("bk", F.explode(chunks))
+    banded = base.withColumn("bk", F.explode(keys))
+    if max_block_size:
+        oversized = banded.groupBy("bk").count().filter(F.col("count") > max_block_size)
+        banded = banded.join(F.broadcast(oversized.select("bk")), "bk", "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, "bk")
@@ -227,39 +261,66 @@ def cosine_sim_expr(a: Column, b: Column) -> Column:
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
 
 
+def _hyperplane_key_expr(vec: Column, planes: "np.ndarray", tag: str) -> Column:
+    """One LSH table key: sign bits of <v, plane_i> concatenated."""
+    bits = [
+        (F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) >= 0).cast("int").cast("string")
+        for plane in planes
+    ]
+    return F.concat(F.lit(f"{tag}:"), *bits)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     *,
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 8,
     seed: int = 11,
     dims: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dups: random-hyperplane LSH bucket (one
-    sign-bit key per plane group) → exact cosine verify within buckets.
-    For guaranteed-exact small inputs set n_planes=0 (single bucket)."""
+    """Embedding-cosine near-dups via random-hyperplane LSH (Charikar,
+    STOC'02 SimHash for cosine) with an OR-construction: ``n_tables``
+    independent tables of ``n_planes`` sign bits each; a pair at angle θ
+    collides in ≥1 table with p = 1 − (1 − (1 − θ/π)^planes)^tables
+    (≈0.99 for cosine ≥ 0.95 at 8×8). Candidates are verified with exact
+    JVM-side cosine, so precision is exact and only recall is
+    probabilistic. Buckets bound the quadratic: the self-join touches
+    O(Σ bucket²), never O(n²). Set n_planes=0 for the single-bucket exact
+    mode (oracle-checkable on small inputs only)."""
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("v"))
     if n_planes > 0:
         if dims is None:
-            dims = len(base.select("v").first().v)
+            first = base.select(F.size("v").alias("d")).first()
+            if first is None:  # empty input → empty, correctly-typed pairs
+                id_type = base.schema["id"].dataType.simpleString()
+                return df.sparkSession.createDataFrame(
+                    [], f"id_a {id_type}, id_b {id_type}, cosine double"
+                )
+            dims = int(first.d)
         rng = np.random.RandomState(seed)
-        planes = rng.standard_normal((n_planes, dims))
-        bits = [
-            (F.aggregate(
-                F.zip_with(
-                    F.col("v"),
-                    F.array(*[F.lit(float(x)) for x in planes[p]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ) >= 0).cast("int").cast("string")
-            for p in range(n_planes)
+        keys = [
+            _hyperplane_key_expr(
+                F.col("v"), rng.standard_normal((n_planes, dims)), f"t{t}"
+            )
+            for t in range(n_tables)
         ]
-        base = base.withColumn("bk", F.concat(*bits)).persist()
+        # persist: both self-join sides and every table key reuse the
+        # projected vectors; released explicitly once the plan no longer
+        # needs it is impossible for a lazy result, so rely on LRU — the
+        # cached projection is (id, vec, key), no wide intermediate
+        base = base.withColumn("bk", F.explode(F.array(*keys))).persist()
     else:
         base = base.withColumn("bk", F.lit("all"))
     a, b = base.alias("a"), base.alias("b")
@@ -268,7 +329,12 @@ def embedding_near_duplicates(
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.round(cosine_sim_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_sim_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -69,11 +69,22 @@ class IVFIndex:
     @classmethod
     def fit(cls, df: DataFrame, vec_col: str, nlist: int = 16, seed: int = 5,
             iters: int = 3, sample_cap: int = 4096) -> "IVFIndex":
-        sample = np.array(
-            [r.v for r in
-             df.select(F.col(vec_col).cast("array<double>").alias("v"))
-             .limit(sample_cap).collect()]
-        )
+        vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        # uniform seeded sample — ``limit()`` would take the FIRST partitions
+        # only, so on sorted/clustered data the centroids would be fit on a
+        # biased, ordering-dependent slice (round-1 advisory). One count()
+        # job at fit time is the price of an unbiased fraction.
+        n_total = vecs.count()
+        if n_total == 0:
+            raise ValueError("IVFIndex.fit: empty input")
+        if n_total > sample_cap:
+            frac = min(1.0, (sample_cap * 1.5) / n_total)
+            vecs = vecs.sample(fraction=frac, seed=seed)
+        sample = np.array([r.v for r in vecs.collect()][:sample_cap])
+        if len(sample) == 0:  # pathological tiny-fraction draw
+            sample = np.array([r.v for r in df.select(
+                F.col(vec_col).cast("array<double>").alias("v")
+            ).limit(min(n_total, sample_cap)).collect()])
         rng = np.random.RandomState(seed)
         idx = rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)
         cents = sample[idx]

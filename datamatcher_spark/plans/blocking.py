@@ -22,7 +22,7 @@ hot key cannot pin a whole shuffle partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datamatcher_spark.functions.minhash import (
@@ -116,5 +116,7 @@ def salted_repartition(blocks: DataFrame, cfg: PipelineConfig) -> DataFrame:
     n = cfg.salt_shuffle_partitions or int(
         blocks.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    salt = F.pmod(F.col("uid"), F.lit(16)).alias("_salt")
-    return blocks.repartition(n, F.col("block_key"), salt).drop("_salt")
+    # the salt is a repartition *expression*, never a materialized column —
+    # nothing to drop afterwards
+    salt = F.pmod(F.col("uid"), F.lit(16))
+    return blocks.repartition(n, F.col("block_key"), salt)

@@ -706,8 +706,12 @@ def q_events_hourly(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
     ), sessions AS (
       SELECT user_id, ts, event_type,
-             sum(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_type) AS session_seq
+             -- CAST: DuckDB's windowed sum() yields HUGEINT, which the
+             -- driver's type-sensitive value hash sees as float64 while
+             -- Spark emits BIGINT (round-1 hash_match=false, values equal)
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_type) AS BIGINT)
+               AS session_seq
       FROM marked
     )
     SELECT user_id, session_seq, count(*) AS n_events,

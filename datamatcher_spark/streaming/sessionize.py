@@ -41,7 +41,22 @@ def _sessionize_group(
     (user_id,) = key
     if state.hasTimedOut:
         seq, n, start_us, end_us = state.get
-        state.remove()
+        if n == 0:
+            # empty placeholder left by a previous timeout close and the
+            # user never came back — now it is safe to drop the state
+            state.remove()
+            return
+        # close the idle session but KEEP the sequence counter: removing
+        # state here would restart session_seq at 0 on the user's next
+        # event, re-using (user_id, session_seq) identities of sessions
+        # already emitted as closed (round-1 advisory). Re-seed an empty
+        # placeholder at seq+1; if the user stays away, the next timeout
+        # removes it (state stays bounded by recently-active users).
+        state.update((seq + 1, 0, 0, 0))
+        try:
+            state.setTimeoutDuration(GAP_SECONDS * 1000)
+        except Exception:  # NoTimeout mode
+            pass
         yield pd.DataFrame(
             [dict(user_id=user_id, session_seq=seq, n_events=n,
                   session_start=pd.Timestamp(start_us, unit="us"),

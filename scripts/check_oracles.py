@@ -14,6 +14,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -24,10 +25,18 @@ TABLES = [
 def canon_cell(v):
     if v is None:
         return None
+    # TYPE-SENSITIVE on numerics: the driver's value hash distinguishes
+    # int64 from float64 (round 1: DuckDB windowed sum() → HUGEINT →
+    # float64 vs Spark BIGINT hashed differently even though 1.0 == 1
+    # compares equal in Python). Tag floats so the replica catches it.
+    if isinstance(v, bool):
+        return v
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        return ("f", round(v, 6))
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, (list, tuple)):
         return tuple(canon_cell(x) for x in v)
     if hasattr(v, "isoformat"):
@@ -77,9 +86,23 @@ def main():
             n_rows_only += 1
             continue
         try:
-            cur = con.execute(entry.sql)
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            # fetch through pandas, NOT fetchall(): fetchall() hands
+            # HUGEINT back as a Python int (masking type drift), while
+            # the driver's arrow/pandas path widens it to float64 — the
+            # exact mismatch that slipped through in round 1
+            pdf = con.execute(entry.sql).df()
+            d_cols = list(pdf.columns)
+            def _from_pd(v):
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                    return tuple(_from_pd(x) for x in v)
+                if pd.isna(v) is True:
+                    return None
+                return v.item() if hasattr(v, "item") else v
+
+            d_rows = [
+                tuple(_from_pd(v) for v in row)
+                for row in pdf.itertuples(index=False, name=None)
+            ]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
