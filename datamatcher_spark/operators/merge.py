@@ -194,13 +194,22 @@ class ColumnMapping:
     source_template: str = ""
     conditions: Sequence[RuleCondition] = field(default_factory=tuple)
     condition_logic: str = "AND"
+    # 'x'-expression / lambda applied AFTER the named transform, exactly
+    # like the reference (core/mapping.py:174, core/matcher.py:333-334);
+    # compiled to Column expressions, error → passthrough
+    custom_script: str = ""
 
     def source_value(self, src_col: Callable[[str], Column]) -> Column:
         if self.source_template:
             val = template_expr(self.source_template, src_col)
         else:
             val = src_col(self.source_column)
-        return transform_expr(self.transform, val)
+        val = transform_expr(self.transform, val)
+        if self.custom_script:
+            from datamatcher_spark.norm.custom_script import custom_script_expr
+
+            val = custom_script_expr(self.custom_script, val)
+        return val
 
     def condition_predicate(self, src_col: Callable[[str], Column],
                             tgt_col: Callable[[str], Column]) -> Column:
@@ -214,6 +223,61 @@ class ColumnMapping:
         for p in preds[1:]:
             combined = (combined | p) if self.condition_logic == "OR" else (combined & p)
         return combined
+
+
+def apply_conflict_overrides(
+    df: DataFrame,
+    key_col: str,
+    overrides: DataFrame,
+    columns: Sequence[str],
+    *,
+    change_prefix: str = "__change_",
+) -> DataFrame:
+    """Apply user-chosen conflict winners to a merged frame.
+
+    The reference resolves write conflicts interactively: the user picks
+    the winning value per (row, column) and the engine patches the result
+    frame in place (gui/dialogs/conflict_resolver.py:112-124,
+    ``result_df.at[row_idx, target_col] = val``). The distributed form:
+    ``overrides`` is a tiny long-format DataFrame
+    ``(key, column, chosen_value)`` — pivoted to one row per key, then
+    BROADCAST left-joined onto the big frame (override sets are human-
+    sized by construction: a person clicked each one) and folded into the
+    target columns. Lineage: patched cells get change type 'override' in
+    the ``__change_<col>`` column (created or updated), so downstream
+    change-count reports see exactly what the user forced.
+    """
+    ov_cols = {"key", "column", "chosen_value"}
+    if not ov_cols <= set(overrides.columns):
+        raise ValueError(f"overrides must have columns {sorted(ov_cols)}")
+    # one row per key, one column per overridable target; values=columns
+    # keeps the pivot single-pass (no distinct-scan job over overrides)
+    wide = (
+        overrides.filter(F.col("column").isin(list(columns)))
+        .groupBy("key")
+        .pivot("column", list(columns))
+        .agg(F.first("chosen_value"))
+    )
+    sel = [F.col("key").alias("__ov_key")] + [
+        F.col(c).alias(f"__ov_{c}") for c in columns
+    ]
+    patched = df.join(
+        F.broadcast(wide.select(*sel)),
+        df[key_col].cast("string") == F.col("__ov_key").cast("string"),
+        "left",
+    )
+    updates: dict[str, Column] = {}
+    for c in columns:
+        ov = F.col(f"__ov_{c}")
+        updates[c] = F.when(ov.isNotNull(), ov.cast("string")).otherwise(
+            F.col(c).cast("string")
+        )
+        chg = f"{change_prefix}{c}"
+        prev = F.col(chg) if chg in df.columns else F.lit(ChangeType.UNCHANGED.value)
+        updates[chg] = F.when(ov.isNotNull(), F.lit("override")).otherwise(prev)
+    return patched.withColumns(updates).drop(
+        "__ov_key", *[f"__ov_{c}" for c in columns]
+    )
 
 
 def apply_mappings(

@@ -5,9 +5,9 @@ Spark's CSV reader takes encoding/sep as options but never sniffs; the
 reference sniffs on a 10 kB sample with a fallback cascade
 (utils/file_handlers.py:12-68,139-154). Sniffing is inherently
 driver-side and O(10 kB), so it stays a tiny helper in front of the
-distributed read. Excel scans (S1) are out: the sandbox has no Excel
-codec and the engine's native tables are parquet — ``load_file`` raises
-a clear error pointing at the parquet path instead.
+distributed read. Excel scans (S1) dispatch to the stdlib .xlsx codec in
+``sources/xlsx.py`` (ECMA-376 zip-of-XML, no third-party engine needed);
+legacy binary .xls/.xlsb stay unsupported with a clear error.
 """
 
 from __future__ import annotations
@@ -89,11 +89,16 @@ def load_file(spark: SparkSession, path: str | Path, **kw) -> DataFrame:
         return spark.read.parquet(str(path))
     if suffix in (".json", ".jsonl", ".ndjson"):
         return spark.read.json(str(path))
-    if suffix in (".xlsx", ".xls", ".xlsb"):
+    if suffix == ".xlsx":
+        from datamatcher_spark.sources.xlsx import load_xlsx
+
+        df, _names = load_xlsx(spark, path, **kw)
+        return df
+    if suffix in (".xls", ".xlsb"):
         raise NotImplementedError(
-            "Excel scan needs a spreadsheet codec not present in this "
-            "environment; convert to parquet/CSV (the engine's native "
-            "formats) or add a spark-excel package on a real cluster."
+            "legacy binary Excel formats need xlrd/pyxlsb engines not "
+            "present in this environment; .xlsx is supported natively "
+            "(sources/xlsx.py), or convert to parquet/CSV."
         )
     raise ValueError(f"unsupported file format: {suffix}")
 

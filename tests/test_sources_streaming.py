@@ -51,8 +51,10 @@ def test_load_pipe_noisy_drops_malformed(spark, tmp_path):
 
 
 def test_load_file_dispatch(spark, tmp_path):
-    with pytest.raises(NotImplementedError, match="Excel"):
-        load_file(spark, tmp_path / "x.xlsx")
+    # .xlsx now dispatches to the stdlib codec (tests/test_xlsx_conflicts.py);
+    # only the legacy binary formats stay unsupported
+    with pytest.raises(NotImplementedError, match="xlrd|pyxlsb"):
+        load_file(spark, tmp_path / "x.xls")
     with pytest.raises(ValueError, match="unsupported"):
         load_file(spark, tmp_path / "x.bin")
     df = load_file(spark, "/root/testdata/sf0.001/region.parquet")
