@@ -29,11 +29,10 @@ HEADLINE = [
     "j3_best_row_per_key",
     "w2_topk_per_group",
     "ean_variant_explode",
-    "write_mode_overwrite",
+    "write_modes_all",
     "a2_key_stats",
     "events_hourly_agg",
-    "dedup_exact",
-    "dedup_fingerprint",
+    "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -87,22 +86,37 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_plus_er_pipeline",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": cpus,
-                "er_docs": n_docs,
-                "er_pairs_scored": res.counts.get("pairs_scored"),
-                "er_pairs_scored_per_sec": round(pairs_per_sec, 1),
-                "er_clusters": res.counts.get("clusters"),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall_plus_er_pipeline",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "er_docs": n_docs,
+        "er_pairs_scored": res.counts.get("pairs_scored"),
+        "er_pairs_scored_per_sec": round(pairs_per_sec, 1),
+        "er_clusters": res.counts.get("clusters"),
+    }
+    # round-over-round regression visibility: per-query delta vs the most
+    # recent BENCH_r{N}.json found next to this script (same sf only)
+    prior = sorted(Path(__file__).parent.glob("BENCH_r*.json"))
+    if prior:
+        try:
+            prev = json.loads(prior[-1].read_text())
+            if prev.get("sf") == sf and isinstance(prev.get("queries"), dict):
+                out["vs_prev"] = {
+                    "round_file": prior[-1].name,
+                    "total_delta_sec": round(total - prev.get("value", 0.0), 3),
+                    "queries_delta_sec": {
+                        q: round(t - prev["queries"][q], 3)
+                        for q, t in timings.items()
+                        if q in prev["queries"]
+                    },
+                }
+        except (json.JSONDecodeError, OSError, TypeError):
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

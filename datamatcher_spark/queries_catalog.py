@@ -136,29 +136,27 @@ def q_p1(spark, sf_dir):
     )
 
 
-@register(
-    "p2_filter_key_list",
-    "SELECT c_custkey, c_name FROM customer WHERE CAST(c_custkey AS VARCHAR) IN "
-    "('1','7','42','99','123','500')",
-)
-def q_p2(spark, sf_dir):
-    return filter_key_list(
-        _t(spark, sf_dir, "customer").select("c_custkey", "c_name"),
-        "c_custkey", ["1", "7", "42", "99", "123", "500"],
-    )
+_P2_KEYS = [str(k) for k in (1, 7, 42, 99, 123, 500, 611, 733, 850, 901,
+                             1002, 1103, 1204, 1305, 1399)]
 
 
 @register(
-    "p3_filter_limit",
-    "SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 50",
+    "p2_p3_keylist_limit",
+    "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders "
+    f"WHERE CAST(o_custkey AS VARCHAR) IN ({', '.join(repr(k) for k in _P2_KEYS)}) "
+    "ORDER BY o_orderkey LIMIT 50",
 )
-def q_p3(spark, sf_dir):
+def q_p2_p3(spark, sf_dir):
+    """P2 key-list filter composed with P3 deterministic ordered limit —
+    one catalog entry covering both (the limit genuinely binds: ~150
+    matching orders at sf0.01, capped to 50)."""
     from datamatcher_spark.operators.batchfilter import filter_limit
 
-    return filter_limit(
-        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
-        50, "o_orderkey",
+    filtered = filter_key_list(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
+        "o_custkey", _P2_KEYS,
     )
+    return filter_limit(filtered, 50, "o_orderkey")
 
 
 @register(
@@ -303,23 +301,9 @@ def q_transform_numeric(spark, sf_dir):
     )
 
 
-@register(
-    "path_normalization",
-    """
-    SELECT n_nationkey,
-           trim(regexp_replace(lower(replace(replace(replace(replace(replace(
-             concat(r_name, ' > ', n_name), '"', ''), ' > ', '/'), '>', '/'),
-             ' / ', '/'), ' ', '')), '/+', '/', 'g'), '/') AS norm_path
-    FROM nation JOIN region ON n_regionkey = r_regionkey
-    """,
-)
-def q_pathnorm(spark, sf_dir):
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    j = n.join(r, n.n_regionkey == r.r_regionkey)
-    path = F.concat(F.col("r_name"), F.lit(" > "), F.col("n_name"))
-    return j.select("n_nationkey", normalize_path_expr(path).alias("norm_path"))
-
+# NOTE: standalone path-normalization check folded into
+# j7_normalized_path_join, which exercises normalize_path_expr on both
+# sides of a live join (the catalog is capped at 50 driver-swept entries)
 
 @register(
     "template_render",
@@ -362,6 +346,58 @@ def q_regex_replace(spark, sf_dir):
 
     return _t(spark, sf_dir, "part").select(
         "p_partkey", regex_transform_expr(F.col("p_name"), "[aeiou]", "_").alias("redacted")
+    )
+
+
+@register(
+    "text_extraction_chain",
+    """
+    SELECT doc_id,
+           regexp_replace(trim(replace(replace(
+             regexp_replace(text, '<[^<]+?>', '', 'g'),
+             chr(10), ' '), chr(13), '')), '\\s+', ' ', 'g') AS extracted
+    FROM documents
+    """,
+)
+def q_extract(spark, sf_dir):
+    """The BASELINE.md byte-identity invariant: the remove_html →
+    remove_newlines → normalize_spaces chain (reference
+    core/transformer.py:18,24,25) must match the oracle byte for byte."""
+    from datamatcher_spark.norm.text import extract_text_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", extract_text_expr(F.col("text")).alias("extracted"))
+
+
+@register(
+    "custom_script_transform",
+    """
+    SELECT c_custkey,
+           CASE WHEN contains(c_name, 'Customer')
+                THEN replace(lower(c_name), '#', '-') ELSE upper(c_name) END
+             AS scripted,
+           CAST(length(trim(c_mktsegment)) AS VARCHAR) AS seg_len,
+           c_name AS fallback
+    FROM customer
+    """,
+)
+def q_custom_script(spark, sf_dir):
+    """The reference's sandboxed-eval custom script
+    (core/matcher.py:117-146) compiled to Catalyst expressions —
+    conditionals, membership, str methods, builtins; plus the
+    out-of-grammar passthrough path (third column uses an unsupported
+    script and must come back unchanged)."""
+    from datamatcher_spark.norm.custom_script import custom_script_expr
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        custom_script_expr(
+            "x.lower().replace('#', '-') if 'Customer' in x else x.upper()",
+            F.col("c_name"),
+        ).alias("scripted"),
+        custom_script_expr("str(len(x.strip()))", F.col("c_mktsegment")).alias("seg_len"),
+        custom_script_expr("__import__('os')", F.col("c_name")).alias("fallback"),
     )
 
 
@@ -464,26 +500,27 @@ def q_j6(spark, sf_dir):
 
 
 @register(
-    "j8_anti_join_unmatched",
-    "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
-    "(SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)",
+    "j8_j9_match_split",
+    """
+    SELECT c_custkey, true AS matched FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT c_custkey, false AS matched FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
 )
-def q_j8(spark, sf_dir):
+def q_j8_j9(spark, sf_dir):
+    """J8 anti-join (unmatched) + J9 semi-join (matched) in one entry:
+    the matched/unmatched split every enrichment report needs."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    matched = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit(True).alias("matched")
     )
-
-
-@register(
-    "j9_semi_join_matched",
-    "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
-)
-def q_j9(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+    unmatched = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit(False).alias("matched")
+    )
+    return matched.unionByName(unmatched)
 
 
 @register(
@@ -535,39 +572,47 @@ def q_a1(spark, sf_dir):
     return change_type_counts(_t(spark, sf_dir, "events"), "event_type")
 
 
+_KEY_STATS_SQL = """
+    k_{tag} AS (
+      SELECT CASE WHEN {key} IS NULL THEN NULL
+                  ELSE CAST({key} AS VARCHAR) END AS nk
+      FROM {table}
+    ), per_{tag} AS (
+      SELECT nk, count(*) AS c FROM k_{tag} WHERE nk IS NOT NULL GROUP BY nk
+    )
+"""
+
+_KEY_STATS_SELECT = """
+    SELECT '{table}.{key}' AS keyed,
+           (SELECT count(*) FROM k_{tag}) AS total_rows,
+           (SELECT count(*) FROM per_{tag}) AS unique_keys,
+           (SELECT count(*) FROM per_{tag} WHERE c > 1) AS duplicated_keys,
+           (SELECT count(*) FROM k_{tag} WHERE nk IS NULL) AS empty_keys
+"""
+
+
 @register(
     "a2_key_stats",
-    """
-    WITH k AS (
-      SELECT CASE WHEN o_custkey IS NULL THEN NULL
-                  ELSE CAST(o_custkey AS VARCHAR) END AS nk
-      FROM orders
-    ), per AS (
-      SELECT nk, count(*) AS c FROM k WHERE nk IS NOT NULL GROUP BY nk
-    )
-    SELECT (SELECT count(*) FROM k) AS total_rows,
-           (SELECT count(*) FROM per) AS unique_keys,
-           (SELECT count(*) FROM per WHERE c > 1) AS duplicated_keys,
-           (SELECT count(*) FROM k WHERE nk IS NULL) AS empty_keys
-    """,
+    "WITH "
+    + _KEY_STATS_SQL.format(tag="a", table="orders", key="o_custkey")
+    + ", "
+    + _KEY_STATS_SQL.format(tag="b", table="lineitem", key="l_partkey")
+    + _KEY_STATS_SELECT.format(tag="a", table="orders", key="o_custkey")
+    + " UNION ALL "
+    + _KEY_STATS_SELECT.format(tag="b", table="lineitem", key="l_partkey"),
 )
 def q_a2(spark, sf_dir):
-    return key_stats(_t(spark, sf_dir, "orders"), "o_custkey")
-
-
-@register(
-    "a3_duplicate_key_count",
-    """
-    SELECT count(*) AS duplicate_keys FROM (
-      SELECT CAST(l_partkey AS VARCHAR) AS k, count(*) AS c
-      FROM lineitem GROUP BY 1 HAVING count(*) > 1
+    """A2 key stats + A3 duplicate-key count + A4 empty-key count over two
+    tables in one entry (key_stats emits all four counters per key)."""
+    a = key_stats(_t(spark, sf_dir, "orders"), "o_custkey").withColumn(
+        "keyed", F.lit("orders.o_custkey")
     )
-    """,
-)
-def q_a3(spark, sf_dir):
-    from datamatcher_spark.operators.reporter import duplicate_key_count
-
-    return duplicate_key_count(_t(spark, sf_dir, "lineitem"), "l_partkey")
+    b = key_stats(_t(spark, sf_dir, "lineitem"), "l_partkey").withColumn(
+        "keyed", F.lit("lineitem.l_partkey")
+    )
+    return a.unionByName(b).select(
+        "keyed", "total_rows", "unique_keys", "duplicated_keys", "empty_keys"
+    )
 
 
 @register(
@@ -835,59 +880,124 @@ def _write_mode_df(spark, sf_dir):
     )
 
 
-def _register_write_mode(mode: WriteMode, sql_value: str, sql_change: str):
-    @register(
-        f"write_mode_{mode.value}",
-        _WRITE_MODE_BASE_SQL
-        + f"SELECT o_orderkey, {sql_value} AS merged, {sql_change} AS change_type FROM e",
-    )
-    def q(spark, sf_dir, _mode=mode):
-        df = _write_mode_df(spark, sf_dir)
-        value, change = apply_write_mode(F.col("cur"), F.col("new"), _mode)
-        return df.select(
-            "o_orderkey", value.alias("merged"), change.alias("change_type")
+# (mode, merged-value SQL, change-type SQL) — the reference decision table
+# (core/matcher.py:441-487), one row per write mode
+_WRITE_MODE_SQL: list[tuple[WriteMode, str, str]] = [
+    (
+        WriteMode.OVERWRITE,
+        "CASE WHEN cur_empty OR cur IS DISTINCT FROM new THEN new ELSE cur END",
+        "CASE WHEN cur_empty THEN 'new' WHEN cur IS DISTINCT FROM new THEN 'changed' "
+        "ELSE 'unchanged' END",
+    ),
+    (
+        WriteMode.FILL_EMPTY,
+        "CASE WHEN cur_empty AND NOT new_empty THEN new ELSE cur END",
+        "CASE WHEN cur_empty AND NOT new_empty THEN 'new' ELSE 'unchanged' END",
+    ),
+    (
+        WriteMode.APPEND,
+        "CASE WHEN NOT new_empty THEN (CASE WHEN cur_empty THEN new "
+        "ELSE concat(cur, ' | ', new) END) ELSE cur END",
+        "CASE WHEN NOT new_empty THEN (CASE WHEN cur_empty THEN 'new' ELSE 'changed' "
+        "END) ELSE 'unchanged' END",
+    ),
+    (
+        WriteMode.OVERWRITE_IF_DIFFERENT,
+        "CASE WHEN cur IS DISTINCT FROM new THEN new ELSE cur END",
+        "CASE WHEN cur IS DISTINCT FROM new THEN "
+        "(CASE WHEN cur_empty THEN 'new' ELSE 'changed' END) ELSE 'unchanged' END",
+    ),
+    (
+        WriteMode.OVERWRITE_IF_LONGER,
+        "CASE WHEN coalesce(length(new), 0) > coalesce(length(cur), 0) THEN new "
+        "ELSE cur END",
+        "CASE WHEN coalesce(length(new), 0) > coalesce(length(cur), 0) THEN "
+        "(CASE WHEN cur_empty THEN 'new' ELSE 'changed' END) ELSE 'unchanged' END",
+    ),
+    (
+        WriteMode.OVERWRITE_IF_NOT_EMPTY,
+        "CASE WHEN NOT new_empty AND (cur_empty OR cur IS DISTINCT FROM new) THEN new "
+        "ELSE cur END",
+        "CASE WHEN NOT new_empty AND cur_empty THEN 'new' "
+        "WHEN NOT new_empty AND cur IS DISTINCT FROM new THEN 'changed' "
+        "ELSE 'unchanged' END",
+    ),
+]
+
+
+@register(
+    "write_modes_all",
+    _WRITE_MODE_BASE_SQL
+    + " UNION ALL ".join(
+        f"SELECT o_orderkey, '{mode.value}' AS mode, {sql_value} AS merged, "
+        f"{sql_change} AS change_type FROM e"
+        for mode, sql_value, sql_change in _WRITE_MODE_SQL
+    ),
+)
+def q_write_modes(spark, sf_dir):
+    """All six reference write modes over the same (cur, new) join, one
+    stacked result tagged by mode — six decision-table rows, one driver
+    entry (per-mode unit tests live in tests/test_merge_modes.py)."""
+    df = _write_mode_df(spark, sf_dir)
+    parts = []
+    for mode, _sv, _sc in _WRITE_MODE_SQL:
+        value, change = apply_write_mode(F.col("cur"), F.col("new"), mode)
+        parts.append(
+            df.select(
+                "o_orderkey",
+                F.lit(mode.value).alias("mode"),
+                value.alias("merged"),
+                change.alias("change_type"),
+            )
         )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
-_register_write_mode(
-    WriteMode.OVERWRITE,
-    "CASE WHEN cur_empty OR cur IS DISTINCT FROM new THEN new ELSE cur END",
-    "CASE WHEN cur_empty THEN 'new' WHEN cur IS DISTINCT FROM new THEN 'changed' "
-    "ELSE 'unchanged' END",
+@register(
+    "conflict_override_apply",
+    """
+    WITH merged AS (
+      SELECT o_orderkey,
+             c_mktsegment AS segment,
+             CASE WHEN c_mktsegment IS DISTINCT FROM o_orderpriority
+                  THEN 'changed' ELSE 'unchanged' END AS __change_segment
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 97 = 0 THEN 'USER-PICK' ELSE segment END AS segment,
+           CASE WHEN o_orderkey % 97 = 0 THEN 'override' ELSE __change_segment END
+             AS __change_segment
+    FROM merged
+    """,
 )
-_register_write_mode(
-    WriteMode.FILL_EMPTY,
-    "CASE WHEN cur_empty AND NOT new_empty THEN new ELSE cur END",
-    "CASE WHEN cur_empty AND NOT new_empty THEN 'new' ELSE 'unchanged' END",
-)
-_register_write_mode(
-    WriteMode.APPEND,
-    "CASE WHEN NOT new_empty THEN (CASE WHEN cur_empty THEN new "
-    "ELSE concat(cur, ' | ', new) END) ELSE cur END",
-    "CASE WHEN NOT new_empty THEN (CASE WHEN cur_empty THEN 'new' ELSE 'changed' END) "
-    "ELSE 'unchanged' END",
-)
-_register_write_mode(
-    WriteMode.OVERWRITE_IF_DIFFERENT,
-    "CASE WHEN cur IS DISTINCT FROM new THEN new ELSE cur END",
-    "CASE WHEN cur IS DISTINCT FROM new THEN "
-    "(CASE WHEN cur_empty THEN 'new' ELSE 'changed' END) ELSE 'unchanged' END",
-)
-_register_write_mode(
-    WriteMode.OVERWRITE_IF_LONGER,
-    "CASE WHEN coalesce(length(new), 0) > coalesce(length(cur), 0) THEN new "
-    "ELSE cur END",
-    "CASE WHEN coalesce(length(new), 0) > coalesce(length(cur), 0) THEN "
-    "(CASE WHEN cur_empty THEN 'new' ELSE 'changed' END) ELSE 'unchanged' END",
-)
-_register_write_mode(
-    WriteMode.OVERWRITE_IF_NOT_EMPTY,
-    "CASE WHEN NOT new_empty AND (cur_empty OR cur IS DISTINCT FROM new) THEN new "
-    "ELSE cur END",
-    "CASE WHEN NOT new_empty AND cur_empty THEN 'new' "
-    "WHEN NOT new_empty AND cur IS DISTINCT FROM new THEN 'changed' "
-    "ELSE 'unchanged' END",
-)
+def q_conflict_override(spark, sf_dir):
+    """User-chosen conflict winners patched onto a merged frame via a
+    broadcast pivot join (reference conflict_resolver.py:112-124 applies
+    the picks with in-place .at[] writes)."""
+    from datamatcher_spark.operators.merge import apply_conflict_overrides
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    merged = o.join(c, o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.when(
+            ~F.col("c_mktsegment").eqNullSafe(F.col("o_orderpriority")),
+            F.lit("changed"),
+        ).otherwise(F.lit("unchanged")).alias("__change_segment"),
+    )
+    overrides = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderkey").cast("string").alias("key"),
+            F.lit("segment").alias("column"),
+            F.lit("USER-PICK").alias("chosen_value"),
+        )
+    )
+    return apply_conflict_overrides(merged, "o_orderkey", overrides, ["segment"])
 
 
 @register(
@@ -912,44 +1022,45 @@ def q_rules(spark, sf_dir):
 # training-data operators: dedup / text / similarity (documents, embeddings)
 # --------------------------------------------------------------------------
 
-@register(
-    "dedup_exact",
-    """
-    WITH keyed AS (
-      SELECT doc_id AS id,
-             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS dup_key
-      FROM documents
-    )
-    SELECT id, dup_key,
+_DEDUP_GROUPS_SQL = """
+    SELECT '{method}' AS method, id, dup_key,
            count(*) OVER (PARTITION BY dup_key) AS group_size,
            min(id) OVER (PARTITION BY dup_key) AS keep_id,
            id <> min(id) OVER (PARTITION BY dup_key) AS is_duplicate
-    FROM keyed
-    """,
-)
-def q_dedup_exact(spark, sf_dir):
-    return exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    FROM {keyed}
+"""
 
 
 @register(
-    "dedup_fingerprint",
+    "dedup_exact_fingerprint",
     """
-    WITH keyed AS (
+    WITH exact_keyed AS (
+      SELECT doc_id AS id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS dup_key
+      FROM documents
+    ), fp_keyed AS (
       SELECT doc_id AS id,
              md5(array_to_string(list_sort(list_distinct(list_filter(
                string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
                                   '\\s+'), t -> t <> ''))), ' ')) AS dup_key
       FROM documents
     )
-    SELECT id, dup_key,
-           count(*) OVER (PARTITION BY dup_key) AS group_size,
-           min(id) OVER (PARTITION BY dup_key) AS keep_id,
-           id <> min(id) OVER (PARTITION BY dup_key) AS is_duplicate
-    FROM keyed
-    """,
+    """
+    + _DEDUP_GROUPS_SQL.format(method="exact", keyed="exact_keyed")
+    + " UNION ALL "
+    + _DEDUP_GROUPS_SQL.format(method="fingerprint", keyed="fp_keyed"),
 )
-def q_dedup_fp(spark, sf_dir):
-    return fingerprint_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+def q_dedup_exact_fp(spark, sf_dir):
+    """Exact (normalized-md5) + fingerprint (token-sort) dedup groups over
+    the same corpus, stacked with a method tag — both single-shuffle
+    window plans."""
+    d = _t(spark, sf_dir, "documents")
+    a = exact_duplicates(d, "doc_id", "text").withColumn("method", F.lit("exact"))
+    b = fingerprint_duplicates(d, "doc_id", "text").withColumn(
+        "method", F.lit("fingerprint")
+    )
+    cols = ["method", "id", "dup_key", "group_size", "keep_id", "is_duplicate"]
+    return a.select(*cols).unionByName(b.select(*cols))
 
 
 @register("dedup_minhash_lsh", None)  # seeded UDF — rows-only + pytest oracle
@@ -959,10 +1070,48 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+@register(
+    "minhash_expr_crosscheck",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS rows_checked,
+           CAST(0 AS BIGINT) AS mismatches
+    FROM documents
+    """,
+)
+def q_minhash_crosscheck(spark, sf_dir):
+    """Driver-visible guard on the seeded MinHash fast path: the Arrow-UDF
+    signature must equal the pure-Catalyst expression form
+    (functions/minhash.py) row for row — the oracle asserts zero
+    mismatches over the corpus, giving the rows-only LSH entries a green,
+    hash-checked anchor."""
+    from datamatcher_spark.functions.minhash import (
+        minhash_signature_expr,
+        minhash_signature_udf,
+        shingle_hashes_expr,
+        word_shingles_expr,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hs = shingle_hashes_expr(word_shingles_expr(F.col("text"), 3))
+    sigs = d.select(
+        minhash_signature_udf(16, 1337)(hs).alias("sig_udf"),
+        minhash_signature_expr(hs, 16, 1337).alias("sig_expr"),
+    )
+    return sigs.agg(
+        F.count("*").alias("rows_checked"),
+        F.sum(
+            F.when(F.col("sig_udf") != F.col("sig_expr"), 1).otherwise(0)
+        ).cast("bigint").alias("mismatches"),
+    )
+
+
 @register("dedup_simhash", None)  # seeded UDF — rows-only + pytest oracle
 def q_dedup_simhash(spark, sf_dir):
+    # defaults: max_hamming=3 with 5-chunk combination blocking — recall
+    # is exact for the threshold (Manku-style pigeonhole), not just for
+    # hamming ≤ n_chunks − 1
     return simhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
     )
 
 
@@ -994,19 +1143,63 @@ def q_dedup_ngram(spark, sf_dir):
     )
 
 
+# the embeddings table has NO natural near-dups (max pairwise cosine
+# ≈0.51 at sf0.01), so both near-dup entries plant deterministic
+# perturbed copies (vec_id+1000000, v → 1.01·v + 0.01) on BOTH sides —
+# a 0-row check would verify nothing
+_PLANTED_EMB_SQL = """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), planted AS (
+      SELECT vec_id FROM base WHERE vec_id % 20 = 0
+    ), corpus AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT b.vec_id + 1000000, list_transform(b.v, x -> x * 1.01 + 0.01)
+      FROM base b JOIN planted p USING (vec_id)
+    )
+"""
+
+
+def _planted_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dups = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * 1.01 + 0.01).alias("v"),
+    )
+    return emb.unionByName(dups)
+
+
 @register(
     "embedding_near_dup_exact",
-    """
+    _PLANTED_EMB_SQL
+    + """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.95
     """,
 )
 def q_embed_dedup(spark, sf_dir):
+    # n_planes=0 = single bucket = exact (oracle-checkable); the scale
+    # path is the LSH entry below
     return embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _planted_embeddings(spark, sf_dir), "vec_id", "v",
         threshold=0.95, n_planes=0,
+    )
+
+
+@register("embedding_near_dup_lsh", None)  # probabilistic recall — rows-only
+def q_embed_dedup_lsh(spark, sf_dir):
+    """The 100 TB-shaped embedding near-dup plan: multi-table hyperplane
+    LSH buckets bound the self-join to O(Σ bucket²); exact-cosine verify
+    keeps precision exact. Recall ≈0.99 at 8×8 for cosine ≥ 0.95
+    (planted-pair recall gate in tests/test_dedup.py)."""
+    return embedding_near_duplicates(
+        _planted_embeddings(spark, sf_dir), "vec_id", "v",
+        threshold=0.95, n_planes=8, n_tables=8,
     )
 
 
@@ -1105,12 +1298,16 @@ def q_multimodal(spark, sf_dir):
 
 
 @register(
-    "validation_number_soft",
+    "validation_soft_types",
     """
-    WITH t AS (
+    WITH tn AS (
       SELECT CASE WHEN c_custkey % 7 = 0 THEN c_name
                   ELSE CAST(c_acctbal AS VARCHAR) END AS mixed
       FROM customer
+    ), td AS (
+      SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_orderpriority
+                  ELSE strftime(o_orderdate, '%Y-%m-%d') END AS d
+      FROM orders
     )
     SELECT 'mixed' AS column, 'number' AS expected_type,
            count(*) FILTER (WHERE NOT (
@@ -1118,29 +1315,8 @@ def q_multimodal(spark, sf_dir):
              OR TRY_CAST(replace(trim(mixed), ',', '.') AS DOUBLE) IS NOT NULL
            )) AS warning_count,
            count(*) AS total_rows
-    FROM t
-    """,
-)
-def q_validation_number(spark, sf_dir):
-    from datamatcher_spark.operators.finalize import validation_warnings
-
-    c = _t(spark, sf_dir, "customer").withColumn(
-        "mixed",
-        F.when(F.col("c_custkey") % 7 == 0, F.col("c_name")).otherwise(
-            F.col("c_acctbal").cast("string")
-        ),
-    )
-    return validation_warnings(c, "mixed", "number")
-
-
-@register(
-    "validation_date_soft",
-    """
-    WITH t AS (
-      SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_orderpriority
-                  ELSE strftime(o_orderdate, '%Y-%m-%d') END AS d
-      FROM orders
-    )
+    FROM tn
+    UNION ALL
     SELECT 'd' AS column, 'date' AS expected_type,
            count(*) FILTER (WHERE NOT (
              d IS NULL OR trim(d) = ''
@@ -1149,33 +1325,64 @@ def q_validation_number(spark, sf_dir):
              OR regexp_matches(trim(d), '^\\d{2}[./-]\\d{2}[./-]\\d{2}$')
            )) AS warning_count,
            count(*) AS total_rows
-    FROM t
+    FROM td
     """,
 )
-def q_validation_date(spark, sf_dir):
+def q_validation_soft(spark, sf_dir):
+    """Soft number + date validation (reference matcher.py:148-189
+    warnings, never failures) over planted mixed columns, stacked."""
     from datamatcher_spark.operators.finalize import validation_warnings
 
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "mixed",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_name")).otherwise(
+            F.col("c_acctbal").cast("string")
+        ),
+    )
     o = _t(spark, sf_dir, "orders").withColumn(
         "d",
         F.when(F.col("o_orderkey") % 5 == 0, F.col("o_orderpriority")).otherwise(
             F.date_format("o_orderdate", "yyyy-MM-dd")
         ),
     )
-    return validation_warnings(o, "d", "date")
+    return validation_warnings(c, "mixed", "number").unionByName(
+        validation_warnings(o, "d", "date")
+    )
 
 
 @register(
-    "text_extraction_chain",
+    "excel_ingest_roundtrip",
     """
-    SELECT doc_id,
-           regexp_replace(trim(replace(replace(
-             regexp_replace(text, '<[^<]+?>', '', 'g'),
-             chr(10), ' '), chr(13), '')), '\\s+', ' ', 'g') AS extracted
-    FROM documents
+    -- DOUBLE casts: bare 19.99 is DECIMAL in DuckDB, which hashes
+    -- differently from the reader's double columns
+    SELECT sku, name, CAST(qty AS DOUBLE) AS qty, CAST(price AS DOUBLE) AS price
+    FROM (VALUES
+      ('A-1', 'Widget & <fine>', 3.0, 19.99),
+      ('B-2', 'Gadget', 0.0, 5.5),
+      ('C-3', NULL, 12.0, 100.0)
+    ) t(sku, name, qty, price)
     """,
 )
-def q_extract(spark, sf_dir):
-    from datamatcher_spark.norm.text import extract_text_expr
+def q_excel_ingest(spark, sf_dir):
+    """S1 Excel scan: write a deterministic workbook with the stdlib
+    xlsx codec, read it back through the ingest dispatch, compare against
+    a VALUES oracle (reference utils/file_handlers.py:71-107)."""
+    import tempfile
+    from pathlib import Path
 
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", extract_text_expr(F.col("text")).alias("extracted"))
+    from datamatcher_spark.sources.ingest import load_file
+    from datamatcher_spark.sources.xlsx import write_xlsx
+
+    path = Path(tempfile.mkdtemp(prefix="xlsx_catalog_")) / "fixture.xlsx"
+    write_xlsx(
+        [
+            ["sku", "name", "qty", "price"],
+            ["A-1", "Widget & <fine>", 3, 19.99],
+            ["B-2", "Gadget", 0, 5.5],
+            ["C-3", None, 12, 100.0],
+        ],
+        path,
+    )
+    return load_file(spark, path)
+
+

@@ -109,3 +109,65 @@ def test_on_real_documents_table(spark):
     nd = minhash_near_duplicates(docs, "doc_id", "text", jaccard_threshold=0.8)
     # symmetric, canonical, self-free
     assert nd.filter("id_a >= id_b").count() == 0
+
+
+def test_embedding_lsh_recall_on_planted(spark):
+    """Planted-pair recall gate for the scale path (multi-table hyperplane
+    LSH): the LSH plan must recover every pair the exact single-bucket
+    plan finds on the real embeddings table + deterministic perturbed
+    copies (the catalog's embedding_near_dup_lsh shape)."""
+    from datamatcher_spark.queries_catalog import _planted_embeddings
+
+    corpus = _planted_embeddings(spark, "/root/testdata/sf0.001")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(
+            corpus, "vec_id", "v", threshold=0.95, n_planes=0
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_duplicates(
+            corpus, "vec_id", "v", threshold=0.95, n_planes=8, n_tables=8
+        ).collect()
+    }
+    assert exact, "fixture must plant at least one near-dup pair"
+    assert lsh <= exact          # precision exact (verified cosine)
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95        # 8x8 OR-construction, seeded
+
+
+def test_embedding_near_duplicates_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = embedding_near_duplicates(df, "vec_id", "embedding", n_planes=8)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cosine"]
+
+
+def test_simhash_exact_recall_guarantee(spark):
+    """Pigeonhole exactness: every pair within max_hamming must be found,
+    verified against a brute-force O(n^2) hamming computation."""
+    import itertools
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    # brute force over the same seeded simhash values
+    from datamatcher_spark.operators.dedup import simhash_udf
+    from datamatcher_spark.functions.minhash import MERSENNE_P, tokens_expr
+    from pyspark.sql import functions as F
+
+    th = F.transform(tokens_expr(F.col("text")),
+                     lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE_P)))
+    sims = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", simhash_udf(64, 7)(th).alias("sh")).collect()
+    }
+    expect = {}
+    for a, b in itertools.combinations(sorted(sims), 2):
+        h = bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+        if h <= 3:
+            expect[(a, b)] = h
+    assert got == expect
