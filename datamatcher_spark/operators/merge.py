@@ -56,11 +56,26 @@ def _neq(cur: Column, new: Column) -> Column:
     return ~_str(cur).eqNullSafe(_str(new))
 
 
-def should_write_expr(cur: Column, new: Column, mode: WriteMode) -> tuple[Column, Column]:
+def should_write_expr(
+    cur: Column,
+    new: Column,
+    mode: WriteMode,
+    *,
+    cur_empty: Column | None = None,
+    new_empty: Column | None = None,
+) -> tuple[Column, Column]:
     """(write?, change_type) column pair for a write mode — the decision
-    table of core/matcher.py:441-487, row for row."""
-    cur_empty = is_empty_expr(cur)
-    new_empty = is_empty_expr(new)
+    table of core/matcher.py:441-487, row for row.
+
+    ``cur_empty``/``new_empty``: optionally pass PRECOMPUTED emptiness
+    flags (e.g. a boolean column from a prior projection). The sentinel
+    check costs two regexp trims per side; when several modes stack over
+    one row (write_modes_all explode), inlining it per mode multiplies
+    that by 12 — precomputing keeps it at 2."""
+    if cur_empty is None:
+        cur_empty = is_empty_expr(cur)
+    if new_empty is None:
+        new_empty = is_empty_expr(new)
     t = lambda ct: F.lit(ct.value)  # noqa: E731
 
     if mode == WriteMode.OVERWRITE:
@@ -104,13 +119,19 @@ def should_write_expr(cur: Column, new: Column, mode: WriteMode) -> tuple[Column
 
 
 def apply_write_mode(cur: Column, new: Column, mode: WriteMode,
-                     append_separator: str = " | ") -> tuple[Column, Column]:
+                     append_separator: str = " | ",
+                     *,
+                     cur_empty: Column | None = None,
+                     new_empty: Column | None = None) -> tuple[Column, Column]:
     """(result_value, change_type). APPEND concatenates like the reference
     (core/matcher.py:352-356): both non-empty → 'cur<sep>new'."""
-    write, change = should_write_expr(cur, new, mode)
+    write, change = should_write_expr(
+        cur, new, mode, cur_empty=cur_empty, new_empty=new_empty
+    )
     if mode == WriteMode.APPEND:
+        nonempty_cur = ~(is_empty_expr(cur) if cur_empty is None else cur_empty)
         value = F.when(
-            write & ~is_empty_expr(cur),
+            write & nonempty_cur,
             F.concat(_str(cur), F.lit(append_separator), _str(new)),
         ).when(write, _str(new)).otherwise(_str(cur))
     else:

@@ -941,10 +941,21 @@ def q_write_modes(spark, sf_dir):
     array, NOT a 6-way union: a union re-evaluates the underlying join
     once per branch, while the explode reads and joins exactly once —
     the difference between 1x and 6x scan+shuffle at scale."""
-    df = _write_mode_df(spark, sf_dir)
+    # precompute the sentinel-emptiness flags ONCE below the explode —
+    # inlined, each of the six structs would re-run the two regexp trims
+    # per side (measured 9.6s → 2.7s at sf0.1, local[32])
+    df = _write_mode_df(spark, sf_dir).withColumns(
+        {
+            "__cur_empty": is_empty_expr(F.col("cur")),
+            "__new_empty": is_empty_expr(F.col("new")),
+        }
+    )
     structs = []
     for mode, _sv, _sc in _WRITE_MODE_SQL:
-        value, change = apply_write_mode(F.col("cur"), F.col("new"), mode)
+        value, change = apply_write_mode(
+            F.col("cur"), F.col("new"), mode,
+            cur_empty=F.col("__cur_empty"), new_empty=F.col("__new_empty"),
+        )
         structs.append(
             F.struct(
                 F.lit(mode.value).alias("mode"),
