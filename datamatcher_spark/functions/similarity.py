@@ -76,9 +76,27 @@ def jaro_winkler(s1: str, s2: str) -> float:
 
 @F.pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cover
-    """Arrow-batched JW over two string series (nulls → 0.0)."""
-    out = [
-        0.0 if (x is None or y is None) else jaro_winkler(x, y)
-        for x, y in zip(a.tolist(), b.tolist())
-    ]
+    """Arrow-batched JW over two string series (nulls → 0.0).
+
+    Two batch-level shortcuts before the per-pair Python kernel:
+    * vectorized equality — near-dup candidate pairs very often carry
+      IDENTICAL normalized titles (same page mirrored), and s1 == s2 is
+      1.0 by definition, so that majority never enters the char loop;
+    * per-batch memoization — hub pages pair against many others with
+      the same (title_a, title_b) combination inside one block.
+    """
+    import numpy as np
+
+    av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+    out = np.zeros(len(a), dtype=np.float64)
+    valid = a.notna().to_numpy() & b.notna().to_numpy()
+    eq = valid & (av == bv)
+    out[eq] = 1.0
+    cache: dict = {}
+    for i in np.flatnonzero(valid & ~eq):
+        key = (av[i], bv[i])
+        v = cache.get(key)
+        if v is None:
+            v = cache[key] = jaro_winkler(*key)
+        out[i] = v
     return pd.Series(out, dtype="float64")
