@@ -104,6 +104,8 @@ def main() -> None:
     if prior:
         try:
             prev = json.loads(prior[-1].read_text())
+            # the driver wraps the bench line under "parsed"
+            prev = prev.get("parsed", prev)
             if prev.get("sf") == sf and isinstance(prev.get("queries"), dict):
                 out["vs_prev"] = {
                     "round_file": prior[-1].name,
