@@ -452,30 +452,46 @@ def q_j3(spark, sf_dir):
 @register(
     "j4_fuzzy_levenshtein_join",
     """
-    SELECT a.n_name AS name_a, b.n_name AS name_b,
-           round(1.0 - CAST(levenshtein(lower(a.n_name), lower(b.n_name)) AS DOUBLE)
-                 / greatest(length(a.n_name), length(b.n_name)), 6) AS sim
-    FROM nation a JOIN nation b ON a.n_name < b.n_name
-    WHERE 1.0 - CAST(levenshtein(lower(a.n_name), lower(b.n_name)) AS DOUBLE)
-          / greatest(length(a.n_name), length(b.n_name)) >= 0.4
+    WITH b AS (
+      SELECT DISTINCT lower(trim(substring(p_name, 1, length(p_name) - 1))) AS probe
+      FROM part WHERE p_partkey % 10 = 0
+    ), s AS (
+      SELECT DISTINCT lower(trim(p_name)) AS cand FROM part
+    ), pairs AS (
+      -- the reference's candidate prune: first char matches OR |Δlen| ≤ 2
+      SELECT DISTINCT b.probe, s.cand FROM b JOIN s
+        ON substring(b.probe, 1, 1) = substring(s.cand, 1, 1)
+        OR abs(length(b.probe) - length(s.cand)) <= 2
+    ), scored AS (
+      SELECT probe, cand,
+             1.0 - CAST(levenshtein(probe, cand) AS DOUBLE)
+                   / greatest(length(probe), length(cand)) AS sim
+      FROM pairs
+    ), ranked AS (
+      SELECT probe, cand, sim,
+             row_number() OVER (PARTITION BY probe
+                                ORDER BY sim DESC, cand) AS rn
+      FROM scored WHERE sim >= 0.85
+    )
+    SELECT probe, cand, round(sim, 6) AS sim FROM ranked WHERE rn = 1
     """,
 )
 def q_j4(spark, sf_dir):
-    n = _t(spark, sf_dir, "nation")
-    a, b = n.alias("a"), n.alias("b")
-    sim = levenshtein_sim_expr(
-        F.lower(F.col("a.n_name")), F.lower(F.col("b.n_name"))
+    """J4/J5 — the REAL blocked fuzzy fallback (enrich.py
+    fuzzy_enrich_candidates): probes are part names with the last char
+    chopped off, candidates the intact names; the reference's prune
+    (first-char OR length-delta ≤ 2, utils/fuzzy_matcher.py:79-87) runs
+    as exploded equi-join blocking keys — the oracle expresses the same
+    predicate as a theta join, the Spark plan must NOT (asserted in
+    tests/test_plan_properties.py)."""
+    from datamatcher_spark.operators.enrich import fuzzy_enrich_candidates
+
+    p = _t(spark, sf_dir, "part")
+    base = p.filter(F.col("p_partkey") % 10 == 0).select(
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("name")
     )
-    return (
-        a.join(b, F.col("a.n_name") < F.col("b.n_name"))
-        .withColumn("sim_raw", sim)
-        .filter(F.col("sim_raw") >= 0.4)
-        .select(
-            F.col("a.n_name").alias("name_a"),
-            F.col("b.n_name").alias("name_b"),
-            F.round("sim_raw", 6).alias("sim"),
-        )
-    )
+    out = fuzzy_enrich_candidates(base, p, "name", "p_name", threshold=0.85)
+    return out.select("probe", "cand", F.round("sim", 6).alias("sim"))
 
 
 @register(
