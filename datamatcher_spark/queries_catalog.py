@@ -497,21 +497,31 @@ def q_j4(spark, sf_dir):
 @register(
     "j6_partial_containment",
     """
-    WITH t AS (SELECT DISTINCT p_type FROM part)
-    SELECT a.p_type AS type_a, b.p_type AS type_b
-    FROM t a JOIN t b ON a.p_type <> b.p_type
-    WHERE contains(lower(a.p_type), lower(b.p_type))
-       OR contains(lower(b.p_type), lower(a.p_type))
+    -- distinct part names plus their first words: names in this corpus
+    -- never contain each other, so without the planted single-word
+    -- prefixes this check passed vacuously on 0 rows
+    WITH t AS (
+      SELECT DISTINCT p_name AS ty FROM part
+      UNION
+      SELECT DISTINCT string_split(p_name, ' ')[1] FROM part
+    )
+    SELECT a.ty AS type_a, b.ty AS type_b
+    FROM t a JOIN t b ON a.ty <> b.ty
+    WHERE contains(lower(a.ty), lower(b.ty))
+       OR contains(lower(b.ty), lower(a.ty))
     """,
 )
 def q_j6(spark, sf_dir):
-    t = _t(spark, sf_dir, "part").select("p_type").distinct()
+    p = _t(spark, sf_dir, "part")
+    full = p.select(F.col("p_name").alias("ty"))
+    prefix = p.select(F.get(F.split("p_name", " "), 0).alias("ty"))
+    t = full.unionByName(prefix).distinct()
     a, b = t.alias("a"), t.alias("b")
-    la, lb = F.lower(F.col("a.p_type")), F.lower(F.col("b.p_type"))
+    la, lb = F.lower(F.col("a.ty")), F.lower(F.col("b.ty"))
     return (
-        a.join(b, F.col("a.p_type") != F.col("b.p_type"))
+        a.join(b, F.col("a.ty") != F.col("b.ty"))
         .filter(la.contains(lb) | lb.contains(la))
-        .select(F.col("a.p_type").alias("type_a"), F.col("b.p_type").alias("type_b"))
+        .select(F.col("a.ty").alias("type_a"), F.col("b.ty").alias("type_b"))
     )
 
 
