@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import sys
 import tempfile
@@ -100,7 +101,11 @@ def main() -> None:
     }
     # round-over-round regression visibility: per-query delta vs the most
     # recent BENCH_r{N}.json found next to this script (same sf only)
-    prior = sorted(Path(__file__).parent.glob("BENCH_r*.json"))
+    # numeric round sort — lexicographic puts BENCH_r10 before BENCH_r2
+    prior = sorted(
+        Path(__file__).parent.glob("BENCH_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
+    )
     if prior:
         try:
             prev = json.loads(prior[-1].read_text())

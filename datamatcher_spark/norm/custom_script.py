@@ -144,30 +144,38 @@ class _Compiler(ast.NodeVisitor):
                 return F.concat(lc, rc), STR
             raise UnsupportedScript("str + non-str")
         if op is ast.Mult and lt == STR and rt == INT:
-            return F.repeat(lc, rc.cast("int")), STR
+            return F.repeat(lc, rc.try_cast("int")), STR
         if op is ast.Mult and lt == INT and rt == STR:
-            return F.repeat(rc, lc.cast("int")), STR
+            return F.repeat(rc, lc.try_cast("int")), STR
         ln, rn = _num(lc, lt), _num(rc, rt)
         both_int = lt in (INT, BOOL) and rt in (INT, BOOL)
         out_tag = INT if both_int else FLT
+        # ANSI mode (Spark 4 default) turns value-level arithmetic errors
+        # into job-killing exceptions: /0 and %0 raise DIVIDE_BY_ZERO /
+        # REMAINDER_BY_ZERO, bigint overflow raises ARITHMETIC_OVERFLOW
+        # (where Python's arbitrary-precision ints would succeed). The
+        # reference's per-row try/except returns the original value in
+        # every such case, so compile to the try_* variants: NULL at the
+        # failing value, restored to the original by the top-level
+        # coalesce — never a crashed job.
         if op is ast.Add:
-            return ln + rn, out_tag
+            return (F.try_add(ln, rn) if both_int else ln + rn), out_tag
         if op is ast.Sub:
-            return ln - rn, out_tag
+            return (F.try_subtract(ln, rn) if both_int else ln - rn), out_tag
         if op is ast.Mult:
-            return ln * rn, out_tag
-        if op is ast.Div:  # Python true division
-            return ln.cast("double") / rn.cast("double"), FLT
+            return (F.try_multiply(ln, rn) if both_int else ln * rn), out_tag
+        if op is ast.Div:  # Python true division; /0 → NULL → passthrough
+            return F.try_divide(ln.cast("double"), rn.cast("double")), FLT
         if op is ast.FloorDiv:
-            q = F.floor(ln.cast("double") / rn.cast("double"))
+            q = F.floor(F.try_divide(ln.cast("double"), rn.cast("double")))
             return (q, INT) if both_int else (q.cast("double"), FLT)
-        if op is ast.Mod:  # Python %: sign of the divisor
-            m = ((ln % rn) + rn) % rn
+        if op is ast.Mod:  # Python %: sign of the divisor; %0 → NULL
+            m = F.try_mod(F.try_add(F.try_mod(ln, rn), rn), rn)
             return m, out_tag
         if op is ast.Pow:
             p = F.pow(ln.cast("double"), rn.cast("double"))
             if both_int and isinstance(node.right, ast.Constant) and node.right.value >= 0:
-                return p.cast("long"), INT
+                return p.try_cast("long"), INT
             return p, FLT
         raise UnsupportedScript(f"operator {op.__name__}")
 
@@ -245,7 +253,7 @@ class _Compiler(ast.NodeVisitor):
         idx, idx_tag = self.visit(node.slice)
         if idx_tag != INT:
             raise UnsupportedScript("subscript index must be int")
-        pos = idx.cast("int")
+        pos = idx.try_cast("int")  # index beyond int32 → NULL → passthrough
         if tag == STR:
             # Python s[i]: IndexError out of range → NULL → passthrough;
             # Spark substring with a negative pos already counts from the end
@@ -288,7 +296,9 @@ class _Compiler(ast.NodeVisitor):
                 # Python int(str) accepts surrounding whitespace only;
                 # '2.5' raises → try_cast NULL → passthrough
                 return pystrip_expr(c).try_cast("bigint"), INT
-            return _num(c, t).cast("long"), INT  # trunc toward zero, like Python
+            # trunc toward zero, like Python; try_cast because ANSI raises
+            # CAST_OVERFLOW on e.g. int(float('1e300')) where Python succeeds
+            return _num(c, t).try_cast("long"), INT
         if name == "float" and len(args) == 1:
             c, t = args[0]
             return (c.try_cast("double") if t == STR
@@ -305,7 +315,7 @@ class _Compiler(ast.NodeVisitor):
             c, t = self.visit(raw[0])
             n = _num(c, t)
             if len(raw) == 1:
-                return F.bround(n, 0).cast("long"), INT
+                return F.bround(n, 0).try_cast("long"), INT
             if len(raw) == 2:
                 nd = self._const_of(raw[1], (int,))
                 return F.bround(n, nd), FLT

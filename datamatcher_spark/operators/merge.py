@@ -215,6 +215,9 @@ class ColumnMapping:
     source_template: str = ""
     conditions: Sequence[RuleCondition] = field(default_factory=tuple)
     condition_logic: str = "AND"
+    # binds the mapping to a named source in a multi-source profile
+    # (reference core/mapping.py:154 DataSource.id); "" → default source
+    source_id: str = ""
     # 'x'-expression / lambda applied AFTER the named transform, exactly
     # like the reference (core/mapping.py:174, core/matcher.py:333-334);
     # compiled to Column expressions, error → passthrough
@@ -272,12 +275,24 @@ def apply_conflict_overrides(
     if not ov_cols <= set(overrides.columns):
         raise ValueError(f"overrides must have columns {sorted(ov_cols)}")
     # one row per key, one column per overridable target; values=columns
-    # keeps the pivot single-pass (no distinct-scan job over overrides)
+    # keeps the pivot single-pass (no distinct-scan job over overrides).
+    # Deterministic winner on duplicate (key, column) rows: max_by over an
+    # explicit ordering — a 'seq' column when provided (last click wins,
+    # matching the reference's sequential in-place patches), else the
+    # value itself (arbitrary but stable; F.first over unordered shuffle
+    # output was nondeterministic). chosen_value rides inside a struct so
+    # an explicit NULL ("blank this cell") survives the pivot: struct
+    # non-null ⇒ an override row existed, struct.v NULL ⇒ blank the cell.
+    order = (
+        F.col("seq")
+        if "seq" in overrides.columns
+        else F.coalesce(F.col("chosen_value").cast("string"), F.lit(""))
+    )
     wide = (
         overrides.filter(F.col("column").isin(list(columns)))
         .groupBy("key")
         .pivot("column", list(columns))
-        .agg(F.first("chosen_value"))
+        .agg(F.max_by(F.struct(F.col("chosen_value").cast("string").alias("v")), order))
     )
     sel = [F.col("key").alias("__ov_key")] + [
         F.col(c).alias(f"__ov_{c}") for c in columns
@@ -290,7 +305,8 @@ def apply_conflict_overrides(
     updates: dict[str, Column] = {}
     for c in columns:
         ov = F.col(f"__ov_{c}")
-        updates[c] = F.when(ov.isNotNull(), ov.cast("string")).otherwise(
+        # ov non-null ⇒ override exists; ov.v may be NULL ⇒ blank the cell
+        updates[c] = F.when(ov.isNotNull(), ov["v"]).otherwise(
             F.col(c).cast("string")
         )
         chg = f"{change_prefix}{c}"

@@ -30,29 +30,57 @@ FEATURE_SCHEMA = (
 )
 
 
+def _media_row(i: int, seed: int) -> dict:
+    """One deterministic fake media row — pure Python, shared by the
+    distributed generator AND the driver-side oracle so both see
+    byte-identical payloads (same RNG call order, per row)."""
+    kinds = ["image", "audio", "video"]
+    rng = np.random.RandomState(seed * 100_003 + int(i))
+    kind = kinds[int(i) % 3]
+    payload = rng.bytes(128 + int(rng.randint(0, 256)))
+    return dict(
+        media_id=int(i), kind=kind, payload=payload,
+        mime={"image": "image/png", "audio": "audio/wav",
+              "video": "video/mp4"}[kind],
+        width=int(rng.randint(16, 512)) if kind != "audio" else None,
+        height=int(rng.randint(16, 512)) if kind != "audio" else None,
+        duration_ms=int(rng.randint(1000, 60000)) if kind != "image" else None,
+    )
+
+
 def synthesize_media(spark, n: int = 64, seed: int = 3) -> DataFrame:
     """Deterministic fake media table (binary payloads with real bytes)."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kinds = ["image", "audio", "video"]
         for pdf in batches:
-            rows = []
-            for i in pdf["id"].tolist():
-                rng = np.random.RandomState(seed * 100_003 + int(i))
-                kind = kinds[int(i) % 3]
-                payload = rng.bytes(128 + int(rng.randint(0, 256)))
-                rows.append(
-                    dict(
-                        media_id=int(i), kind=kind, payload=payload,
-                        mime={"image": "image/png", "audio": "audio/wav",
-                              "video": "video/mp4"}[kind],
-                        width=int(rng.randint(16, 512)) if kind != "audio" else None,
-                        height=int(rng.randint(16, 512)) if kind != "audio" else None,
-                        duration_ms=int(rng.randint(1000, 60000)) if kind != "image" else None,
-                    )
-                )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame([_media_row(i, seed) for i in pdf["id"].tolist()])
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def expected_feature_rows(n: int, seed: int, dim: int = 8) -> list[dict]:
+    """Driver-side oracle for ``extract_features(synthesize_media(n, seed))``
+    with scalar-only columns: recomputes every payload and fake feature in
+    plain Python (no Spark) so a DuckDB VALUES oracle can assert the whole
+    Arrow pipeline end-to-end. feature_norm folds float32 components in
+    float64 in array order — the exact arithmetic of the Spark-side
+    ``aggregate(feature, 0.0D, (a, x) -> a + double(x) * double(x))``."""
+    out = []
+    for i in range(n):
+        r = _media_row(i, seed)
+        vec = _decode_fake(r["payload"], r["kind"], dim)
+        s = 0.0
+        for x in vec:
+            s += float(x) * float(x)
+        out.append(
+            dict(
+                media_id=i, kind=r["kind"], n_bytes=len(r["payload"]),
+                sha1=hashlib.sha1(r["payload"]).hexdigest(),
+                feature_dim=dim,
+                feature_norm=round(s ** 0.5, 3),
+                decode_ok=True,
+            )
+        )
+    return out
 
 
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:  # pragma: no cover

@@ -22,23 +22,24 @@ def key_stats(df: DataFrame, key_col: str, key_options: dict | None = None) -> D
     """A2 — total / unique / duplicated / empty over the normalized key
     (one row). Mirrors get_key_stats (key_normalizer.py:179-223)."""
     nk = normalize_key_expr(F.col(key_col), **(key_options or {}))
-    per_key = (
-        df.select(nk.alias("k"))
-        .filter(F.col("k").isNotNull())
-        .groupBy("k")
-        .agg(F.count("*").alias("c"))
+    # ONE scan + ONE shuffle: group by the normalized key INCLUDING nulls
+    # (empty keys normalize to NULL), then fold the per-key counts into
+    # all four stats in a single final aggregate. The previous version
+    # scanned the table twice (per-key pass + totals pass) and
+    # cross-joined — at 100 TB that is two full reads for one report row.
+    per_key = df.select(nk.alias("k")).groupBy("k").agg(
+        F.count("*").alias("c")
     )
-    counts = per_key.agg(
-        F.count("*").alias("unique_keys"),
-        F.count_if(F.col("c") > 1).alias("duplicated_keys"),
-    )
-    totals = df.select(
-        F.count("*").alias("total_rows"),
-        F.count_if(nk.isNull()).alias("empty_keys"),
-    )
-    return totals.crossJoin(counts).select(
-        "total_rows", "unique_keys", "duplicated_keys", "empty_keys"
-    )
+    return per_key.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("total_rows"),
+        F.count_if(F.col("k").isNotNull()).alias("unique_keys"),
+        F.count_if(F.col("k").isNotNull() & (F.col("c") > 1)).alias(
+            "duplicated_keys"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("k").isNull(), F.col("c"))), F.lit(0)
+        ).alias("empty_keys"),
+    ).select("total_rows", "unique_keys", "duplicated_keys", "empty_keys")
 
 
 def uniqueness_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:

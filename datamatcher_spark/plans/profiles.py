@@ -75,6 +75,126 @@ class Profile:
         )
 
 
+def apply_batch_filter(df, bf: BatchFilterSpec, key_col: str):
+    """Dispatch a BatchFilterSpec onto the P1-P4 operators."""
+    from datamatcher_spark.operators.batchfilter import (
+        filter_key_list,
+        filter_key_regex,
+        filter_limit,
+        filter_range,
+    )
+
+    if bf.kind == "range":
+        return filter_range(df, key_col, bf.start, bf.end)
+    if bf.kind == "key_list":
+        return filter_key_list(df, key_col, list(bf.keys))
+    if bf.kind == "limit":
+        return filter_limit(df, bf.limit, key_col)
+    if bf.kind == "regex":
+        return filter_key_regex(df, key_col, bf.pattern)
+    return df
+
+
+def execute_profile(spark, profile: "Profile", *, load=None) -> tuple:
+    """Run the enrichment job a Profile describes, end-to-end: load base,
+    batch-filter, then per source (in list order) enrich-join + fold that
+    source's mappings (bound by ``ColumnMapping.source_id``; an unbound
+    mapping attaches to the first source, like the reference's default
+    DataSource). Returns ``(result_df, sources_info, mappings_info)`` —
+    the triple the report renderer consumes.
+
+    ``load`` injects a path→DataFrame loader (tests pass in-memory
+    frames); the default dispatches parquet vs. ``sources.ingest
+    .load_file`` sniffing by extension.
+    """
+    from datamatcher_spark.operators.enrich import enrich_join, match_stats
+    from datamatcher_spark.operators.merge import apply_mappings
+
+    from pyspark.sql import functions as F
+
+    if load is None:
+        from datamatcher_spark.sources.ingest import load_file
+
+        def load(path):
+            p = str(path)
+            if p.endswith(".parquet"):
+                return spark.read.parquet(p)
+            return load_file(spark, p)
+
+    base_key = profile.base.key_column
+    df = apply_batch_filter(load(profile.base.path), profile.batch_filter, base_key)
+
+    sources_info: list[dict] = []
+    mappings_info: list[dict] = []
+    for i, spec in enumerate(profile.sources):
+        bound = [
+            m
+            for m in profile.mappings
+            if m.source_id == spec.name or (not m.source_id and i == 0)
+        ]
+        if not bound:
+            continue
+        src = load(spec.path)
+        opts = spec.key_options or profile.base.key_options
+        st = match_stats(df, src, base_key, spec.key_column, opts)
+        sources_info.append(
+            {"filename": Path(spec.path).name, "key_column": spec.key_column, **st}
+        )
+        joined = enrich_join(
+            df, src, base_key, spec.key_column,
+            bound[0].source_column or src.columns[0], key_options=opts,
+        )
+        folded = apply_mappings(joined, bound, matched=F.col("__matched"))
+        drop = [c for c in folded.columns if c.startswith("src_")]
+        df = folded.drop("__matched", "__conflicts", *drop)
+        mappings_info += [
+            {
+                "source_column": m.source_column or m.source_template,
+                "target_column": m.target_column,
+                "write_mode": m.write_mode.value,
+            }
+            for m in sorted(bound, key=lambda m: m.priority)
+            if m.enabled
+        ]
+    return df, sources_info, mappings_info
+
+
+def match_profile(
+    filename: str,
+    file_patterns: Sequence[dict],
+    *,
+    require_exists: bool = True,
+) -> Optional[str]:
+    """Auto-select the mapping profile for an incoming file — the
+    reference's "drop a file, get the right mapping" hook
+    (utils/config.py:153-168), with identical precedence rules:
+
+    * patterns are tried in list order, FIRST match wins;
+    * matching is ``re.search`` (substring, not anchored), IGNORECASE;
+    * an invalid regex is skipped silently, never fatal;
+    * an entry missing 'pattern' or 'profile' is skipped;
+    * the profile file must exist on disk (skipped otherwise) unless
+      ``require_exists=False`` — useful when profiles live in an object
+      store the driver can't stat.
+
+    Returns the profile path, or None when nothing matches.
+    """
+    import re
+
+    for entry in file_patterns:
+        pattern = entry.get("pattern")
+        profile_path = entry.get("profile")
+        if not pattern or not profile_path:
+            continue
+        try:
+            if re.search(pattern, filename, re.IGNORECASE):
+                if not require_exists or Path(profile_path).exists():
+                    return profile_path
+        except re.error:
+            continue
+    return None
+
+
 def _mapping_to_dict(m: ColumnMapping) -> dict:
     return {
         "source_column": m.source_column,
@@ -87,6 +207,7 @@ def _mapping_to_dict(m: ColumnMapping) -> dict:
         "output_name": m.output_name,
         "source_template": m.source_template,
         "condition_logic": m.condition_logic,
+        "source_id": m.source_id,
         "conditions": [
             {
                 "column": c.column,
@@ -111,6 +232,7 @@ def _mapping_from_dict(d: dict) -> ColumnMapping:
         output_name=d.get("output_name", ""),
         source_template=d.get("source_template", ""),
         condition_logic=d.get("condition_logic", "AND"),
+        source_id=d.get("source_id", ""),
         conditions=[
             RuleCondition(
                 column=c["column"],

@@ -1155,13 +1155,19 @@ def q_dedup_simhash(spark, sf_dir):
 
 @register(
     "dedup_ngram_jaccard",
+    # oracle is the FULL O(n²) exact Jaccard — no blocking mirrored on the
+    # DuckDB side. Since r3 the Spark blocking is All-Pairs prefix
+    # filtering with exact recall at the threshold, so the blocked
+    # distributed plan must reproduce the unblocked quadratic truth
+    # exactly (the r2 oracle mirrored the lossy prefix-24 blocker and
+    # therefore couldn't see its misses).
     """
     WITH base AS (
       SELECT doc_id AS id,
              regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
       FROM documents
     ), grams AS (
-      SELECT id, substring(norm, 1, 24) AS bk,
+      SELECT id,
              list_distinct(list_transform(
                range(0, greatest(length(norm) - 5, 0) + 1),
                i -> substring(norm, CAST(i + 1 AS INTEGER), 5))) AS g
@@ -1170,14 +1176,20 @@ def q_dedup_simhash(spark, sf_dir):
     SELECT a.id AS id_a, b.id AS id_b,
            round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
-    FROM grams a JOIN grams b ON a.bk = b.bk AND a.id < b.id
+    FROM grams a JOIN grams b ON a.id < b.id
     WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.g, b.g))) >= 0.6
+          / len(list_distinct(list_concat(a.g, b.g))) >= 0.85
     """,
 )
 def q_dedup_ngram(spark, sf_dir):
+    # t=0.85 — the prefix-filter family's operating regime (the corpus's
+    # true near-dups all sit at J ≥ 0.929, so the output is identical to
+    # t=0.6, found EXACTLY). Low-threshold recall work belongs to
+    # minhash_near_duplicates: at t=0.6 on a dense shared-vocabulary
+    # corpus, 56% of ALL pairs are genuine prefix candidates and no exact
+    # blocking can prune them.
     return ngram_jaccard_duplicates(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=5, threshold=0.6
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=5, threshold=0.85,
     )
 
 
@@ -1229,7 +1241,22 @@ def q_embed_dedup(spark, sf_dir):
     )
 
 
-@register("embedding_near_dup_lsh", None)  # probabilistic recall — rows-only
+@register(
+    "embedding_near_dup_lsh",
+    # oracle = the exact O(n²) cosine truth. Sound here because the entry
+    # is fully deterministic (seeded hyperplanes, fixed corpus) and the
+    # planted pairs sit at cosine ≈0.9999 where the 8×8 OR-construction's
+    # per-pair miss probability is (1−(1−θ/π)^8)^8 ≈ 2e-13 — the blocked
+    # plan must reproduce the unblocked truth exactly, same contract as
+    # the prefix-filtered ngram entry
+    _PLANTED_EMB_SQL
+    + """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+    """,
+)
 def q_embed_dedup_lsh(spark, sf_dir):
     """The 100 TB-shaped embedding near-dup plan: multi-table hyperplane
     LSH buckets bound the self-join to O(Σ bucket²); exact-cosine verify
@@ -1325,14 +1352,55 @@ def q_simsearch_ivf(spark, sf_dir):
     return idx.search(idx.assign(emb, "embedding"), "embedding", qv, k=10, nprobe=4)
 
 
-@register("multimodal_features", None)  # binary plumbing — rows-only
+def _multimodal_oracle_sql(n: int = 48, seed: int = 3) -> str:
+    """DuckDB VALUES oracle generated at import time by recomputing every
+    fake payload + feature in pure Python (multimodal.expected_feature_rows
+    shares the exact row generator with the Spark job). Scalar columns
+    only — r02 lesson: the driver's canonicalizer crashes on array<float>
+    output, so the entry emits sha1/norm/dim, never the raw vector."""
+    from datamatcher_spark.operators.multimodal import expected_feature_rows
+
+    vals = ",\n      ".join(
+        f"({r['media_id']}, '{r['kind']}', {r['n_bytes']}, '{r['sha1']}', "
+        f"{r['feature_dim']}, {r['feature_norm']!r}, TRUE)"
+        for r in expected_feature_rows(n, seed)
+    )
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+           CAST(n_bytes AS BIGINT) AS n_bytes, sha1,
+           CAST(feature_dim AS BIGINT) AS feature_dim,
+           CAST(feature_norm AS DOUBLE) AS feature_norm, decode_ok
+    FROM (VALUES
+      {vals}
+    ) AS t(media_id, kind, n_bytes, sha1, feature_dim, feature_norm, decode_ok)
+    """
+
+
+@register("multimodal_features", _multimodal_oracle_sql())
 def q_multimodal(spark, sf_dir):
     from datamatcher_spark.operators.multimodal import (
         extract_features,
         synthesize_media,
     )
 
-    return extract_features(synthesize_media(spark, n=48, seed=3), decoder="fake")
+    feats = extract_features(synthesize_media(spark, n=48, seed=3), decoder="fake")
+    # scalar projection of the array column (driver-canonicalizable);
+    # the float32 components fold to a float64 norm in array order,
+    # bit-identical to the oracle's Python fold
+    sq = F.aggregate(
+        "feature",
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha1",
+        F.size("feature").cast("bigint").alias("feature_dim"),
+        F.round(F.sqrt(sq), 3).alias("feature_norm"),
+        "decode_ok",
+    )
 
 
 @register(

@@ -9,12 +9,12 @@ from __future__ import annotations
 import math
 import sys
 import time
+from decimal import Decimal
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb  # noqa: E402
-import pandas as pd  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -35,6 +35,9 @@ def canon_cell(v):
         if math.isnan(v):
             return "NaN"
         return ("f", round(v, 6))
+    if isinstance(v, Decimal):
+        # DuckDB HUGEINT/DECIMAL via arrow — non-BIGINT, like the driver
+        return ("f", round(float(v), 6))
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, (list, tuple)):
@@ -86,22 +89,20 @@ def main():
             n_rows_only += 1
             continue
         try:
-            # fetch through pandas, NOT fetchall(): fetchall() hands
-            # HUGEINT back as a Python int (masking type drift), while
-            # the driver's arrow/pandas path widens it to float64 — the
-            # exact mismatch that slipped through in round 1
-            pdf = con.execute(entry.sql).df()
-            d_cols = list(pdf.columns)
-            def _from_pd(v):
-                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-                    return tuple(_from_pd(x) for x in v)
-                if pd.isna(v) is True:
-                    return None
-                return v.item() if hasattr(v, "item") else v
-
+            # fetch through ARROW, not .df() and not fetchall():
+            # - fetchall() hands HUGEINT back as a Python int, masking the
+            #   type drift that slipped through in round 1;
+            # - .df() widens nullable BIGINT columns containing NULLs to
+            #   float64, creating FALSE ('f' vs 'i') mismatches, and its
+            #   NaN round-trip conflated real float NaN with NULL.
+            # Arrow preserves nullable int64 as int64 (NULL stays None in
+            # to_pylist) while HUGEINT/DECIMAL surface as decimal.Decimal,
+            # which canon_cell tags as float — so genuine type drift is
+            # still caught.
+            tbl = con.execute(entry.sql).arrow()
+            d_cols = list(tbl.column_names)
             d_rows = [
-                tuple(_from_pd(v) for v in row)
-                for row in pdf.itertuples(index=False, name=None)
+                tuple(rec[c] for c in d_cols) for rec in tbl.to_pylist()
             ]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")

@@ -100,6 +100,12 @@ SCRIPTS = [
     "int(x) ** 2",
     "(int(x) + 1) * (int(x) - 1)",
     "0 < len(x) < 10",
+    # zero-divisor paths: VALUES contains '0', so these hit Python
+    # ZeroDivisionError → passthrough; ANSI Spark would raise
+    # DIVIDE_BY_ZERO / REMAINDER_BY_ZERO without the try_* compilation
+    "10 / int(x)",
+    "100 % int(x)",
+    "7 // int(x)",
 ]
 
 
@@ -176,6 +182,52 @@ def test_value_level_errors_pass_through(spark):
     assert out["2.5"] == "2.5"      # int('2.5') raises → passthrough
     assert out[""] == ""
     assert out[None] is None        # documented drift: NULL in → NULL out
+
+
+def test_ansi_overflow_and_zero_div_pass_through(spark):
+    """Spark 4 ANSI mode (the default on this repo's sessions) raises
+    DIVIDE_BY_ZERO / REMAINDER_BY_ZERO / CAST_OVERFLOW / ARITHMETIC_OVERFLOW
+    as job-killing exceptions; the reference's per-row try/except returns
+    the original value. The compiled try_* forms must passthrough — the
+    job must never crash on a bad value.
+
+    Documented drift: where Python's arbitrary-precision ints SUCCEED
+    (int(1e300), bigint*bigint overflow) the compiled form passes the
+    original value through instead of producing a 300-digit integer.
+    """
+    big = "9223372036854775807"  # Long.MAX_VALUE
+    df = spark.createDataFrame(
+        [("0",), ("4",), ("-3",), ("1e300",), (big,)], "x string"
+    )
+    scripts = {
+        "div0": "10 / int(x)",
+        "mod0": "10 % int(x)",
+        "fdiv0": "10 // int(x)",
+        "overflow_cast": "int(float(x))",
+        "overflow_mul": "int(x) * int(x)",
+        "overflow_add": "int(x) + 1",
+    }
+    rows = {
+        r.x: r
+        for r in df.select(
+            "x",
+            *[custom_script_expr(s, F.col("x")).alias(n) for n, s in scripts.items()],
+        ).collect()
+    }
+    # zero divisor → passthrough (Python ZeroDivisionError → original value)
+    assert rows["0"].div0 == "0"
+    assert rows["0"].mod0 == "0"
+    assert rows["0"].fdiv0 == "0"
+    # normal values still compute, with Python semantics
+    assert rows["4"].div0 == "2.5"
+    assert rows["-3"].mod0 == "-2"      # sign of divisor
+    assert rows["-3"].fdiv0 == "-4"     # floor, not trunc
+    assert rows["4"].overflow_cast == "4"
+    assert rows["4"].overflow_mul == "16"
+    # overflow → passthrough, never a crashed job (drift: Python bigint succeeds)
+    assert rows["1e300"].overflow_cast == "1e300"
+    assert rows[big].overflow_mul == big
+    assert rows[big].overflow_add == big
 
 
 def test_compile_rejects_at_compile_time():

@@ -76,6 +76,58 @@ def test_ngram_jaccard_duplicates(docs):
     assert not any(6 in p for p in pairs)
 
 
+def _brute_ngram_pairs(texts: dict, n: int, threshold: float) -> dict:
+    """O(n²) exact char-n-gram Jaccard in plain Python."""
+    import itertools
+    import re
+
+    def grams(t):
+        s = re.sub(r"\s+", " ", t.lower())
+        return {s[i:i + n] for i in range(max(len(s) - n, 0) + 1)}
+
+    g = {i: grams(t) for i, t in texts.items()}
+    out = {}
+    for a, b in itertools.combinations(sorted(g), 2):
+        u = len(g[a] | g[b])
+        j = len(g[a] & g[b]) / u if u else 0.0
+        if j >= threshold:
+            out[(a, b)] = round(j, 6)
+    return out
+
+
+@pytest.mark.parametrize("order", ["hash", "df"])
+def test_ngram_jaccard_exact_recall_head_edits(spark, order):
+    """The r2 prefix-24 blocker missed near-dups edited in the first 24
+    chars; the All-Pairs prefix filter must find them ALL — recall 1.0 vs
+    a brute-force O(n²) oracle on a corpus of head-edited copies."""
+    base = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(60).collect()
+    }
+    texts = dict(base)
+    for i, (doc_id, t) in enumerate(sorted(base.items())):
+        if i % 3 == 0 and len(t) > 30:
+            # head edit: mutate INSIDE the first 24 chars, keep the tail
+            texts[doc_id + 1_000_000] = "ZQX" + t[3:]
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_duplicates(
+            df, "doc_id", "text", n=5, threshold=0.6, order=order
+        ).collect()
+    }
+    expect = _brute_ngram_pairs(texts, 5, 0.6)
+    planted = {k for k in expect if k[1] >= 1_000_000}
+    assert planted, "corpus must actually contain head-edited near-dups"
+    assert set(got) == set(expect)          # recall AND precision = 1.0
+    for k, j in expect.items():
+        assert abs(got[k] - j) < 1e-6
+
+
 def test_embedding_near_duplicates(spark):
     vecs = [
         (1, [1.0, 0.0, 0.0, 0.0]),

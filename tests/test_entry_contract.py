@@ -22,6 +22,8 @@ SAMPLE = [
     "custom_script_transform",
     "excel_ingest_roundtrip",
     "conflict_override_apply",
+    "multimodal_features",
+    "a2_key_stats",
 ]
 
 
@@ -44,9 +46,25 @@ def test_catalog_structure():
     assert set(sqls) <= set(qs)
     # the genuinely non-SQL ops are the only ones without oracles
     assert set(qs) - set(sqls) == {
-        "dedup_minhash_lsh", "dedup_simhash", "embedding_near_dup_lsh",
-        "text_quality_langid", "simsearch_ivf", "multimodal_features",
+        "dedup_minhash_lsh", "dedup_simhash",
+        "text_quality_langid", "simsearch_ivf",
     }
+
+
+def test_no_array_or_map_output_columns(spark):
+    """r02 driver lesson: the sweep canonicalizes EVERY entry's output
+    (rows-only included) through pandas sort_values, which crashes on
+    unhashable cells — array/map columns are banned from entry output
+    schemas forever (multimodal_features was the one red row)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    bad = []
+    for name, fn in entry_mod.queries().items():
+        schema = fn(spark, SF).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"entries emit driver-uncanonicalizable columns: {bad}"
 
 
 @pytest.mark.parametrize("name", SAMPLE)

@@ -50,6 +50,16 @@ def test_write_modes_single_join_single_scan_pair(spark):
     assert "Generate explode" in plan
 
 
+def test_key_stats_single_scan_per_table(spark):
+    """r2 regression: key_stats scanned its table twice (per-key pass +
+    totals pass) and cross-joined. The single-pass form must read each of
+    the a2 entry's two tables exactly once — at 100 TB the second scan is
+    a second pass over the whole corpus."""
+    plan = plan_of(spark, "a2_key_stats")
+    assert plan.count("Scan parquet") == 2  # orders once + lineitem once
+    assert "CartesianProduct" not in plan and "Join" not in plan
+
+
 def test_no_cartesian_anywhere_in_dedup_paths(spark):
     for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
                  "embedding_near_dup_lsh"):

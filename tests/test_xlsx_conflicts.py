@@ -112,6 +112,44 @@ def test_apply_conflict_overrides(spark):
     assert len(out) == 3
 
 
+def test_conflict_overrides_deterministic_and_blankable(spark):
+    """Duplicate (key, column) rows resolve by max 'seq' (last click wins,
+    like the reference's sequential patches); an explicit NULL
+    chosen_value blanks the cell instead of being silently dropped."""
+    from datamatcher_spark.operators.merge import apply_conflict_overrides
+
+    merged = spark.createDataFrame(
+        [(1, "alpha", "x"), (2, "beta", "y")],
+        "id int, name string, code string",
+    )
+    overrides = spark.createDataFrame(
+        [
+            ("1", "name", "FIRST", 1),
+            ("1", "name", "LAST", 2),       # same cell clicked twice
+            ("2", "code", None, 1),          # user blanked the cell
+        ],
+        "key string, column string, chosen_value string, seq int",
+    )
+    out = {
+        r.id: r
+        for r in apply_conflict_overrides(
+            merged, "id", overrides, ["name", "code"]
+        ).collect()
+    }
+    assert out[1].name == "LAST"                 # deterministic last-wins
+    assert out[2].code is None                   # blank applied, not dropped
+    assert out[2]["__change_code"] == "override"
+    # without seq: still deterministic (max of chosen_value), never random
+    no_seq = overrides.select("key", "column", "chosen_value")
+    vals = {
+        r.id: r.name
+        for r in apply_conflict_overrides(
+            merged, "id", no_seq, ["name", "code"]
+        ).collect()
+    }
+    assert vals[1] == "LAST"  # max("FIRST", "LAST") — stable tie-break
+
+
 def test_conflict_overrides_requires_long_format(spark):
     from datamatcher_spark.operators.merge import apply_conflict_overrides
 
