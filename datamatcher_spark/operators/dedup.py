@@ -15,6 +15,8 @@ quadratic bounded by block size.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -31,6 +33,39 @@ from datamatcher_spark.functions.minhash import (
     word_shingles_expr,
 )
 from datamatcher_spark.functions.textstats import fingerprint_expr
+
+
+@contextmanager
+def cache_scope():
+    """Explicit persist lifecycle for the near-dup operators.
+
+    Their intermediates (signature / gram-hash / key projections) are
+    persisted because both self-join sides and the size census consume
+    them and exchange reuse does not cover the pattern (verified: the
+    unpersisted minhash plan carries 4 ArrowEvalPython nodes — the
+    signature UDF would run 4× over the corpus). A one-shot job can rely
+    on executor LRU, but a long-lived session leaks storage memory, so:
+
+        with cache_scope() as caches:
+            pairs = minhash_near_duplicates(df, ..., caches=caches)
+            pairs.write.parquet(out)       # materialize INSIDE the scope
+
+    Everything persisted by operators handed this list is unpersisted on
+    exit. Materialize before the scope closes — the results are lazy.
+    """
+    caches: list[DataFrame] = []
+    try:
+        yield caches
+    finally:
+        for df in caches:
+            df.unpersist()
+
+
+def _persist(df: DataFrame, caches: list | None) -> DataFrame:
+    out = df.persist()
+    if caches is not None:
+        caches.append(out)
+    return out
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str,
@@ -75,9 +110,11 @@ def minhash_near_duplicates(
     jaccard_threshold: float = 0.7,
     seed: int = 1337,
     max_band_size: int = 500,
+    caches: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) via MinHash-LSH
-    banding + exact token-Jaccard verification."""
+    banding + exact token-Jaccard verification. Pass ``caches`` (see
+    ``cache_scope``) to release the persisted band table explicitly."""
     base = df.select(
         F.col(id_col).alias("id"),
         tokens_expr(F.col(text_col)).alias("toks"),
@@ -86,9 +123,13 @@ def minhash_near_duplicates(
     # persist: the size census and BOTH sides of the self-join consume
     # this — without it the signature UDF runs 4× over the corpus
     # (verified via .explain: four ArrowEvalPython nodes collapse to one)
-    banded = base.select(
-        "id", "toks", F.explode(lsh_band_keys_expr(F.col("sig"), bands, rows)).alias("bk")
-    ).persist()
+    banded = _persist(
+        base.select(
+            "id", "toks",
+            F.explode(lsh_band_keys_expr(F.col("sig"), bands, rows)).alias("bk"),
+        ),
+        caches,
+    )
     # bound band blocks (identical boilerplate pages can make one band huge)
     sizes = banded.groupBy("bk").count().filter(F.col("count") > max_band_size)
     banded = banded.join(F.broadcast(sizes.select("bk")), "bk", "left_anti")
@@ -143,6 +184,7 @@ def simhash_near_duplicates(
     n_chunks: int | None = None,
     seed: int = 7,
     max_block_size: int | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with EXACT recall for the advertised
     threshold: 64-bit simhash over token hashes, blocked with the
@@ -170,7 +212,10 @@ def simhash_near_duplicates(
     )
     base = df.select(F.col(id_col).alias("id"), token_hashes.alias("th"))
     # persist: both self-join sides reuse the simhash UDF output
-    base = base.withColumn("simhash", simhash_udf(64, seed)(F.col("th"))).drop("th").persist()
+    base = _persist(
+        base.withColumn("simhash", simhash_udf(64, seed)(F.col("th"))).drop("th"),
+        caches,
+    )
 
     # chunk j covers bits [off_j, off_j + width_j): 64 bits spread as
     # evenly as possible over n_chunks
@@ -237,6 +282,7 @@ def ngram_jaccard_duplicates(
     threshold: float = 0.6,
     order: str = "df",
     max_block_size: int | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dups with prefix-filter blocking —
     EXACT recall at ``threshold`` (All-Pairs / Bayardo-Ma-Srikant WWW'07,
@@ -294,7 +340,8 @@ def ngram_jaccard_duplicates(
                 )
             )
         ),
-    ).drop("__norm").persist()  # gram-hash arrays are wide; build once
+    ).drop("__norm")
+    base = _persist(base, caches)  # gram-hash arrays are wide; build once
 
     if order == "df":
         exploded = base.select("id", F.explode("gh").alias("g"))
@@ -417,6 +464,7 @@ def embedding_near_duplicates(
     n_tables: int = 8,
     seed: int = 11,
     dims: int | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dups via random-hyperplane LSH (Charikar,
     STOC'02 SimHash for cosine) with an OR-construction: ``n_tables``
@@ -446,10 +494,9 @@ def embedding_near_duplicates(
             for t in range(n_tables)
         ]
         # persist: both self-join sides and every table key reuse the
-        # projected vectors; released explicitly once the plan no longer
-        # needs it is impossible for a lazy result, so rely on LRU — the
-        # cached projection is (id, vec, key), no wide intermediate
-        base = base.withColumn("bk", F.explode(F.array(*keys))).persist()
+        # projected vectors — the cached projection is (id, vec, key), no
+        # wide intermediate; release via the caches list / cache_scope
+        base = _persist(base.withColumn("bk", F.explode(F.array(*keys))), caches)
     else:
         base = base.withColumn("bk", F.lit("all"))
     a, b = base.alias("a"), base.alias("b")

@@ -76,6 +76,29 @@ def test_ngram_jaccard_duplicates(docs):
     assert not any(6 in p for p in pairs)
 
 
+def test_cache_scope_releases_persisted_rdds(spark):
+    """The near-dup operators persist intermediates (UDF outputs feed
+    both self-join sides); cache_scope must release every one of them —
+    a long-lived session must not leak storage memory."""
+    from datamatcher_spark.operators.dedup import cache_scope
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_persisted()
+    with cache_scope() as cs:
+        minhash_near_duplicates(docs, "doc_id", "text", caches=cs).count()
+        simhash_near_duplicates(docs, "doc_id", "text", caches=cs).count()
+        ngram_jaccard_duplicates(
+            docs, "doc_id", "text", threshold=0.85, caches=cs
+        ).count()
+        assert len(cs) == 3
+        assert n_persisted() == before + 3
+    assert n_persisted() == before
+
+
 def _brute_ngram_pairs(texts: dict, n: int, threshold: float) -> dict:
     """O(n²) exact char-n-gram Jaccard in plain Python."""
     import itertools
