@@ -66,28 +66,48 @@ def _edge_digest(edges: DataFrame):
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame, max_iterations: int = 20,
+    shuffle_partitions: int | None = None,
 ) -> tuple[DataFrame, int]:
     """edges(src, dst) → (assignments(node, component), n_iterations).
 
     ``component`` is the minimum node id of the component. Only nodes that
     appear in an edge are assigned; the caller unions singletons.
+
+    The iteration's shuffle parallelism is clamped to the edge volume
+    (~100k edges/partition) rather than inheriting the session setting:
+    each round is ~6 shuffles and a checkpoint job, so on a small edge
+    set a wide session setting turns CC into hundreds of near-empty
+    tasks whose launch overhead dominates — measured ANTI-scaling, 7.7 s
+    at 2 cores → 22.3 s at 8 on a 97k-cluster graph. On a cluster-scale
+    edge set the clamp resolves to the session setting and changes
+    nothing. Override with ``shuffle_partitions`` to pin it.
     """
+    spark = edges.sparkSession
     e = _canon(edges).localCheckpoint()
     if e.isEmpty():
         return e.select(F.col("src").alias("node"), F.col("dst").alias("component")), 0
 
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if shuffle_partitions is None:
+        n_edges = e.count()  # cheap: e is checkpointed
+        shuffle_partitions = max(2, min(session_parts, n_edges // 100_000 + 1))
+
     prev = None
     iters = 0
-    for _ in range(max_iterations):
-        iters += 1
-        e = _small_star(_large_star(e)).localCheckpoint()
-        if iters == 1:
-            continue  # round 1 always changes something; skip the digest job
-        digest = _edge_digest(e)
-        if digest == prev:
-            break
-        prev = digest
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        for _ in range(max_iterations):
+            iters += 1
+            e = _small_star(_large_star(e)).localCheckpoint()
+            if iters == 1:
+                continue  # round 1 always changes something; skip the digest job
+            digest = _edge_digest(e)
+            if digest == prev:
+                break
+            prev = digest
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
 
     # converged star graph: every edge points node → component root
     assign = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))

@@ -94,6 +94,7 @@ def run_pipeline(
         mt.append(trunc_rows, "block_truncated", wall)
         counts["blocks"] = blocks_df.count()
         counts["truncated_blocks"] = len(truncated)
+        counts["block_wall_ms"] = wall
         mt.commit("block", **{k: counts[k] for k in ("blocks", "truncated_blocks")})
         stages_run.append("block")
 
@@ -155,6 +156,7 @@ def run_pipeline(
         mt.append(partition_lineage(clusters_df), "cluster", wall)
         counts["clusters"] = clusters_df.select("cluster_id").distinct().count()
         counts["cc_iterations"] = cc_iters
+        counts["cluster_wall_ms"] = wall
         mt.commit("cluster", **{k: counts[k] for k in ("clusters", "cc_iterations")})
         stages_run.append("cluster")
 

@@ -59,7 +59,19 @@ def candidate_pairs(blocks: DataFrame) -> DataFrame:
 def score_pairs(pairs: DataFrame, feats: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Join features onto pairs and score. Returns every scored pair with
     its score and accept flag (lineage wants the full histogram, not just
-    accepted edges)."""
+    accepted edges).
+
+    The pair table is slim (16 B/row) but every row costs real CPU
+    downstream (array Jaccard + the Arrow JW kernel), so it must be
+    partitioned by COMPUTE, not bytes: AQE's size-based coalescing sees
+    ~44 MB at 2.7M pairs and hands the whole scoring stage 8-9
+    partitions — at 8 cores that is two ragged task waves (measured
+    score-stage scaling eff 0.45-0.55 at 2→8), while an explicit
+    repartition to the session's shuffle parallelism restores even
+    packing. The feature joins broadcast, so this partitioning carries
+    straight through the scoring projections."""
+    n = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    pairs = pairs.repartition(n)
     fa = feats.select(
         F.col("uid").alias("uid_a"),
         F.col("title_norm").alias("title_a"),

@@ -57,6 +57,8 @@ wall = time.monotonic() - t0
 out = dict(
     cores=cores, rows=n_rows, corpus_fingerprint=fp, wall_sec=round(wall, 2),
     pairs_scored=res.counts["pairs_scored"],
+    block_wall_ms=res.counts.get("block_wall_ms"),
+    cluster_wall_ms=res.counts.get("cluster_wall_ms"),
     score_wall_ms=res.counts["score_wall_ms"],
     pairs_per_sec_score_stage=round(
         res.counts["pairs_scored"] / (res.counts["score_wall_ms"] / 1000.0), 1),
