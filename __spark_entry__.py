@@ -37,6 +37,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # a callable sql is a LAZY oracle (VALUES built by a Python recompute
+    # over the corpus) — resolved here, once, at driver-compare time
     return {
-        name: entry.sql for name, entry in CATALOG.items() if entry.sql is not None
+        name: entry.sql() if callable(entry.sql) else entry.sql
+        for name, entry in CATALOG.items()
+        if entry.sql is not None
     }

@@ -39,7 +39,6 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "simsearch_topk",
     "text_stats",
-    "text_quality_langid",
     "text_extraction_chain",
 ]
 
@@ -104,7 +103,9 @@ def main() -> None:
     # numeric round sort — lexicographic puts BENCH_r10 before BENCH_r2
     prior = sorted(
         Path(__file__).parent.glob("BENCH_r*.json"),
-        key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
+        key=lambda p: (
+            int(m.group(1)) if (m := re.search(r"r(\d+)", p.stem)) else -1
+        ),
     )
     if prior:
         try:

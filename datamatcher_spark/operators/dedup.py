@@ -362,6 +362,14 @@ def ngram_jaccard_duplicates(
                 F.slice(F.col("rg"), F.lit(1), _prefix_len_expr(F.size("rg"), threshold))
             ).alias("pos", "s"),
         ).select("id", "sz", "pos", F.col("s.g").alias("bk"))
+        # persist: both self-join sides (and the optional size census)
+        # consume this, and the df-order pipeline above it (explode →
+        # dfreq join → regroup) is the expensive part of the whole
+        # operator — without the persist it recomputes per consumer
+        # (same lesson as the minhash band table; exchange reuse does
+        # not cover the pattern). The hash branch skips this: its prefix
+        # is a cheap slice of the already-persisted gram arrays.
+        banded = _persist(banded, caches)
     elif order == "hash":
         # gh is already sorted by hash — the slice IS the prefix
         banded = base.select(

@@ -37,6 +37,12 @@ class WriteMode(str, Enum):
     OVERWRITE_IF_NOT_EMPTY = "not_empty"
 
 
+# Human-readable mode names, exactly the reference's display strings
+# (core/mapping.py:22-32 get_display_name) — they appear verbatim in the
+# exported change-log artifact's 'tryb' column
+WRITE_MODE_DISPLAY: dict["WriteMode", str] = {}
+
+
 class ChangeType(str, Enum):
     UNCHANGED = "unchanged"
     NEW = "new"
@@ -44,6 +50,18 @@ class ChangeType(str, Enum):
     NO_MATCH = "no_match"
     CONFLICT = "conflict"
     SKIPPED = "skipped"
+
+
+WRITE_MODE_DISPLAY.update(
+    {
+        WriteMode.OVERWRITE: "Nadpisz zawsze",
+        WriteMode.FILL_EMPTY: "Uzupełnij puste",
+        WriteMode.APPEND: "Dopisz",
+        WriteMode.OVERWRITE_IF_DIFFERENT: "Nadpisz jeśli inne",
+        WriteMode.OVERWRITE_IF_LONGER: "Nadpisz jeśli dłuższe",
+        WriteMode.OVERWRITE_IF_NOT_EMPTY: "Nadpisz jeśli niepuste",
+    }
+)
 
 
 def _str(c: Column) -> Column:
@@ -323,6 +341,8 @@ def apply_mappings(
     *,
     src_prefix: str = "src_",
     matched: Column | None = None,
+    retain_old: bool = False,
+    conflicts: Column | None = None,
 ) -> DataFrame:
     """Fold a mapping chain over an enrichment-joined DataFrame.
 
@@ -331,6 +351,24 @@ def apply_mappings(
     each emits ``<target>`` (merged value) and ``__change_<target>``
     lineage. Unmatched rows keep their values with NO_MATCH lineage
     (core/matcher.py:226-229).
+
+    ``retain_old=True`` additionally emits ``__old_<target>`` — the
+    stringified PRE-write value — so the per-cell change-log artifact
+    (reference core/reporter.py:118-136 ``export_change_log``) can be
+    produced distributed; see ``report_render.change_log``. When several
+    mappings stack on one target, the old value (like the change type)
+    reflects the LAST mapping applied — the reference logs one CellChange
+    per mapping, and the last one is the cell's final transition.
+
+    ``conflicts``: optional per-row count of LOSING data-bearing source
+    candidates (J3's ``__conflicts`` window — reference core/
+    data_source.py:263-282 ``get_best_row_for_key`` alternatives count).
+    When given, a cell that was WRITTEN (NEW/CHANGED) from a source key
+    that carried extra candidates is stamped ``ChangeType.CONFLICT``
+    instead — the engine-side twin of the reference's duplicate-conflict
+    feed (core/matcher.py:262-282). Report counters treat 'conflict' as a
+    change; the change-log export labels it 'zmieniona' like the
+    reference (which applies the first candidate and logs the write).
     """
     if matched is None:
         matched = F.lit(True)
@@ -343,20 +381,27 @@ def apply_mappings(
         target = m.target_column
         cur = F.col(target) if target in df.columns else F.lit(None).cast("string")
         value, change = apply_write_mode(cur, new_val, m.write_mode, m.append_separator)
+        if conflicts is not None:
+            change = F.when(
+                (F.coalesce(conflicts, F.lit(0)) > 0)
+                & change.isin(ChangeType.NEW.value, ChangeType.CHANGED.value),
+                F.lit(ChangeType.CONFLICT.value),
+            ).otherwise(change)
         out_name = m.output_name or target
-        # one withColumns call: BOTH expressions bind against the pre-write
+        # one withColumns call: ALL expressions bind against the pre-write
         # row — a chained withColumn would re-resolve `cur` against the
         # already-merged column and report every write as UNCHANGED
-        df = df.withColumns(
-            {
-                out_name: F.when(~matched, cur.cast("string"))
-                .when(cond, value)
-                .otherwise(cur.cast("string")),
-                f"__change_{out_name}": F.when(
-                    ~matched, F.lit(ChangeType.NO_MATCH.value)
-                )
-                .when(cond, change)
-                .otherwise(F.lit(ChangeType.SKIPPED.value)),
-            }
-        )
+        updates = {
+            out_name: F.when(~matched, cur.cast("string"))
+            .when(cond, value)
+            .otherwise(cur.cast("string")),
+            f"__change_{out_name}": F.when(
+                ~matched, F.lit(ChangeType.NO_MATCH.value)
+            )
+            .when(cond, change)
+            .otherwise(F.lit(ChangeType.SKIPPED.value)),
+        }
+        if retain_old:
+            updates[f"__old_{out_name}"] = cur.cast("string")
+        df = df.withColumns(updates)
     return df

@@ -24,10 +24,22 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datamatcher_spark.operators.merge import ChangeType
+from datamatcher_spark.operators.merge import (
+    WRITE_MODE_DISPLAY,
+    ChangeType,
+    WriteMode,
+)
 from datamatcher_spark.sources.ingest import write_csv_report
 
-_CHANGED = (ChangeType.NEW.value, ChangeType.CHANGED.value)
+# 'conflict' only ever appears when the merge opted into conflict
+# stamping (apply_mappings(conflicts=...)); a conflict-stamped cell WAS
+# written (reference applies the first candidate), so every counter and
+# export here treats it as a change
+_CHANGED = (
+    ChangeType.NEW.value,
+    ChangeType.CHANGED.value,
+    ChangeType.CONFLICT.value,
+)
 
 
 def collect_run_stats(
@@ -81,9 +93,12 @@ def collect_run_stats(
         any_no_match = reduce(
             or_, [F.col(c) == ChangeType.NO_MATCH.value for c in change_cols]
         )
+        # NULL base keys are excluded here to stay consistent with
+        # unmatched_key_count (count_distinct skips NULL) — and a None in
+        # this list would crash the ', '.join in generate_summary
         stats["unmatched_keys"] = [
             r.k
-            for r in merged.filter(any_no_match)
+            for r in merged.filter(any_no_match & F.col(key_col).isNotNull())
             .select(F.col(key_col).cast("string").alias("k"))
             .distinct()
             .orderBy("k")
@@ -189,6 +204,98 @@ def save_report(
     )
 
 
+def change_log(
+    merged: DataFrame,
+    key_col: str,
+    mappings_info: list[dict],
+    *,
+    change_prefix: str = "__change_",
+    old_prefix: str = "__old_",
+) -> DataFrame:
+    """The reference's per-cell change-log artifact as a DataFrame
+    (core/reporter.py:118-136 ``export_change_log``): one row per
+    modified cell — (kolumna, klucz, wartosc_przed, wartosc_po, zrodlo,
+    tryb, typ_zmiany), NEW/CHANGED cells only.
+
+    The reference walks its in-memory CellChange list; at scale the same
+    rows fold out of the merged frame itself, provided the merge ran with
+    ``apply_mappings(..., retain_old=True)`` so each target carries its
+    pre-write value in ``__old_<target>``. The unpivot is ONE projection
+    (array-of-structs explode) + a filter — no shuffle, no per-row
+    Python. Documented drift from the artifact: no ``wiersz`` file-row
+    index (a distributed frame has no stable row numbers; ``klucz``
+    identifies the row) — same drift as the unmatched-keys CSV.
+
+    ``mappings_info`` dicts need ``target_column`` (or ``output_name``),
+    ``write_mode`` (WriteMode or its value) and optionally
+    ``source_name``.
+    """
+    structs = []
+    for m in mappings_info:
+        tgt = m.get("output_name") or m["target_column"]
+        chg, old = f"{change_prefix}{tgt}", f"{old_prefix}{tgt}"
+        if tgt not in merged.columns or chg not in merged.columns:
+            continue
+        mode = m.get("write_mode", "")
+        if not isinstance(mode, WriteMode):
+            try:
+                mode = WriteMode(str(mode))
+            except ValueError:
+                mode = None
+        tryb = WRITE_MODE_DISPLAY.get(mode, str(m.get("write_mode", "")))
+        old_col = (
+            F.col(old).cast("string")
+            if old in merged.columns
+            else F.lit(None).cast("string")
+        )
+        structs.append(
+            F.struct(
+                F.lit(tgt).alias("kolumna"),
+                old_col.alias("wartosc_przed"),
+                F.col(tgt).cast("string").alias("wartosc_po"),
+                F.lit(m.get("source_name", "")).alias("zrodlo"),
+                F.lit(tryb).alias("tryb"),
+                F.col(chg).alias("ct"),
+            )
+        )
+    if not structs:
+        return merged.sparkSession.createDataFrame(
+            [],
+            "kolumna string, klucz string, wartosc_przed string, "
+            "wartosc_po string, zrodlo string, tryb string, typ_zmiany string",
+        )
+    return (
+        merged.select(
+            F.col(key_col).cast("string").alias("klucz"),
+            F.explode(F.array(*structs)).alias("c"),
+        )
+        .filter(F.col("c.ct").isin(*_CHANGED))
+        .select(
+            F.col("c.kolumna").alias("kolumna"),
+            "klucz",
+            F.col("c.wartosc_przed").alias("wartosc_przed"),
+            F.col("c.wartosc_po").alias("wartosc_po"),
+            F.col("c.zrodlo").alias("zrodlo"),
+            F.col("c.tryb").alias("tryb"),
+            F.when(F.col("c.ct") == ChangeType.NEW.value, F.lit("nowa"))
+            .otherwise(F.lit("zmieniona"))
+            .alias("typ_zmiany"),
+        )
+    )
+
+
+def export_change_log(
+    merged: DataFrame,
+    key_col: str,
+    mappings_info: list[dict],
+    path: str | Path,
+    **kwargs,
+) -> None:
+    """Write the change-log CSV distributed (reference reporter.py:136
+    ``df.to_csv``)."""
+    write_csv_report(change_log(merged, key_col, mappings_info, **kwargs), path)
+
+
 def export_unmatched(
     merged: DataFrame,
     key_col: str,
@@ -205,7 +312,7 @@ def export_unmatched(
         or_, [F.col(c) == ChangeType.NO_MATCH.value for c in change_cols]
     )
     write_csv_report(
-        merged.filter(any_no_match)
+        merged.filter(any_no_match & F.col(key_col).isNotNull())
         .select(F.col(key_col).cast("string").alias("klucz_bazowy"))
         .distinct(),
         path,

@@ -38,12 +38,25 @@ from datamatcher_spark.plans.config import PipelineConfig
 TITLE_RE = r"(?is)<title>(.*?)</title>"
 
 
-def uid_expr(url: Column) -> Column:
-    """64-bit doc id from the url. Every wide shuffle downstream (pair
-    generation, feature joins, CC) moves 8-byte ids instead of url
-    strings — measured 2-4× on shuffle-bound stages. At 10^12 docs swap
-    for a 128-bit hash or a dictionary id to keep collisions negligible."""
-    return F.xxhash64(url)
+def uid_expr(url: Column, bits: int = 64) -> Column:
+    """Fixed-width doc id from the url. Every wide shuffle downstream
+    (pair generation, feature joins, CC) moves 8- or 16-byte ids instead
+    of url strings — measured 2-4× on shuffle-bound stages.
+
+    ``bits=128`` (``PipelineConfig.uid_bits``) widens to a two-seed
+    xxhash64 struct for 10^12-doc scale, where 64-bit birthday collisions
+    become material (~2.7% probability of ≥1 collision at 10^12). The
+    struct is orderable, hashable and join-able exactly like the long, so
+    every downstream operator (array_sort/collect_set, canonical a < b,
+    greatest/least in CC) is width-agnostic."""
+    if bits == 64:
+        return F.xxhash64(url)
+    # second lane: same function, domain-separated by a constant second
+    # input column (Spark's xxhash64 has a fixed seed; hashing (url, 1)
+    # gives an independent 64-bit value)
+    return F.struct(
+        F.xxhash64(url).alias("h1"), F.xxhash64(url, F.lit(1)).alias("h2")
+    )
 
 
 def features(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -63,7 +76,7 @@ def features(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.array_distinct(F.transform(tokens_expr(F.col("text")), lambda t: F.xxhash64(t)))
     )
     return df.select(
-        uid_expr(F.col("url")).alias("uid"),
+        uid_expr(F.col("url"), cfg.uid_bits).alias("uid"),
         "url",
         normalize_for_fuzzy_expr(title).alias("title_norm"),
         tok_hashes.alias("tok_hashes"),
@@ -87,7 +100,10 @@ def block_keys(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         keys = F.concat(
             F.array(F.concat(F.lit("dom:"), norm_domain_expr(F.col("url")))), keys
         )
-    return df.select(F.explode(keys).alias("block_key"), uid_expr(F.col("url")).alias("uid"))
+    return df.select(
+        F.explode(keys).alias("block_key"),
+        uid_expr(F.col("url"), cfg.uid_bits).alias("uid"),
+    )
 
 
 def truncate_oversized(blocks: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
@@ -118,5 +134,7 @@ def salted_repartition(blocks: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
     # the salt is a repartition *expression*, never a materialized column —
     # nothing to drop afterwards
-    salt = F.pmod(F.col("uid"), F.lit(16))
+    # hash-based salt works for BOTH uid widths (pmod breaks on the
+    # 128-bit struct form)
+    salt = F.pmod(F.xxhash64(F.col("uid")), F.lit(16))
     return blocks.repartition(n, F.col("block_key"), salt)

@@ -25,36 +25,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _canon(edges: DataFrame) -> DataFrame:
+def _dedup(edges: DataFrame, n: int | None) -> DataFrame:
+    """Distinct (src, dst) at a CONTROLLED partition count: an explicit
+    ``repartition(n, src, dst)`` both sets the parallelism and satisfies
+    the dedup's required distribution, so dropDuplicates adds no second
+    exchange — the loop's shuffle width never touches the session conf."""
+    if n:
+        edges = edges.repartition(n, "src", "dst")
+    return edges.dropDuplicates(["src", "dst"])
+
+
+def _canon(edges: DataFrame, n: int | None = None) -> DataFrame:
     """Orient (hi → lo), drop self-loops, dedup."""
     a, b = F.col("src"), F.col("dst")
-    return (
+    return _dedup(
         edges.select(F.greatest(a, b).alias("src"), F.least(a, b).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
+        .filter(F.col("src") != F.col("dst")),
+        n,
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, n: int | None = None) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if n:
+        # one keyed shuffle feeds BOTH the min-agg and the join probe side
+        # exchange-free (hashpartitioning(src, n) satisfies each)
+        sym = sym.repartition(n, "src")
     mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
     mins = mins.select("src", F.least("mn", F.col("src")).alias("m"))
-    return (
+    return _dedup(
         sym.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst")),
+        n,
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, n: int | None = None) -> DataFrame:
     """Connect every ≤-neighbor of u (and u) to min(N(u) ∪ {u})."""
-    e = _canon(edges)  # src > dst everywhere
+    e = _canon(edges, n)  # src > dst everywhere
+    if n:
+        e = e.repartition(n, "src")
     mins = e.groupBy("src").agg(F.min("dst").alias("m"))
     via_lo = e.join(mins, "src").select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     via_hi = mins.select(F.col("src"), F.col("m").alias("dst"))
-    return via_lo.union(via_hi).filter(F.col("src") != F.col("dst")).distinct()
+    return _dedup(via_lo.union(via_hi).filter(F.col("src") != F.col("dst")), n)
 
 
 def _edge_digest(edges: DataFrame):
@@ -82,8 +98,18 @@ def connected_components(
     at 2 cores → 22.3 s at 8 on a 97k-cluster graph. On a cluster-scale
     edge set the clamp resolves to the session setting and changes
     nothing. Override with ``shuffle_partitions`` to pin it.
+
+    The clamp is applied per-operation (explicit keyed ``repartition``
+    ahead of every groupBy/join/dedup inside the loop — see ``_dedup``),
+    NEVER by mutating ``spark.sql.shuffle.partitions``: the session conf
+    is shared, so a set/restore around the loop would silently clamp any
+    concurrent query on the same session (and overlapping CC calls could
+    restore a stale baseline).
     """
     spark = edges.sparkSession
+    # first canon runs at session width (the clamp needs the edge count,
+    # and counting BEFORE canon would execute the upstream edge plan
+    # twice); everything inside the loop is clamped
     e = _canon(edges).localCheckpoint()
     if e.isEmpty():
         return e.select(F.col("src").alias("node"), F.col("dst").alias("component")), 0
@@ -92,22 +118,19 @@ def connected_components(
     if shuffle_partitions is None:
         n_edges = e.count()  # cheap: e is checkpointed
         shuffle_partitions = max(2, min(session_parts, n_edges // 100_000 + 1))
+    n = shuffle_partitions
 
     prev = None
     iters = 0
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        for _ in range(max_iterations):
-            iters += 1
-            e = _small_star(_large_star(e)).localCheckpoint()
-            if iters == 1:
-                continue  # round 1 always changes something; skip the digest job
-            digest = _edge_digest(e)
-            if digest == prev:
-                break
-            prev = digest
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
+    for _ in range(max_iterations):
+        iters += 1
+        e = _small_star(_large_star(e, n), n).localCheckpoint()
+        if iters == 1:
+            continue  # round 1 always changes something; skip the digest job
+        digest = _edge_digest(e)
+        if digest == prev:
+            break
+        prev = digest
 
     # converged star graph: every edge points node → component root
     assign = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))

@@ -42,6 +42,13 @@ class PipelineConfig:
     # stage 3 — clustering
     max_cc_iterations: int = 20
 
+    # doc-id width for every wide shuffle (pairs, feature joins, CC).
+    # 64 → one xxhash64 of the url (8-byte keys; collision expectation
+    # n²/2⁶⁵ — negligible to ~10⁹ docs). 128 → a two-seed xxhash64
+    # struct (16-byte fixed-width keys; swap point SCALE.md prescribes
+    # at 10¹²-doc scale, where 64-bit birthday collisions reach ~2.7%).
+    uid_bits: int = 64
+
     # languages to keep (empty → all)
     langs: tuple = ()
 
@@ -51,6 +58,8 @@ class PipelineConfig:
                 f"minhash_k ({self.minhash_k}) must equal lsh_bands*lsh_rows "
                 f"({self.lsh_bands}*{self.lsh_rows})"
             )
+        if self.uid_bits not in (64, 128):
+            raise ValueError(f"uid_bits must be 64 or 128, got {self.uid_bits}")
 
     def to_json(self, path: str | Path) -> None:
         Path(path).write_text(json.dumps(asdict(self), indent=2, default=list))

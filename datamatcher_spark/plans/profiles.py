@@ -95,7 +95,9 @@ def apply_batch_filter(df, bf: BatchFilterSpec, key_col: str):
     return df
 
 
-def execute_profile(spark, profile: "Profile", *, load=None) -> tuple:
+def execute_profile(
+    spark, profile: "Profile", *, load=None, work_dir: str | Path | None = None
+) -> tuple:
     """Run the enrichment job a Profile describes, end-to-end: load base,
     batch-filter, then per source (in list order) enrich-join + fold that
     source's mappings (bound by ``ColumnMapping.source_id``; an unbound
@@ -106,7 +108,18 @@ def execute_profile(spark, profile: "Profile", *, load=None) -> tuple:
     ``load`` injects a path→DataFrame loader (tests pass in-memory
     frames); the default dispatches parquet vs. ``sources.ingest
     .load_file`` sniffing by extension.
+
+    ``work_dir`` enables MID-JOB RESUME — the enrichment-side analogue of
+    ``plans.run``'s commit markers and of the reference's persisted
+    session position (utils/session.py:17-98): each completed source fold
+    writes its output parquet plus a commit marker carrying that source's
+    report stats. A relaunch with the same work_dir restarts from the
+    LAST COMMITTED source (reading its parquet, replaying its recorded
+    stats) instead of refolding every source from scratch. Without
+    ``work_dir`` the job is a single lazy plan, as before.
     """
+    import json as _json
+
     from datamatcher_spark.operators.enrich import enrich_join, match_stats
     from datamatcher_spark.operators.merge import apply_mappings
 
@@ -121,33 +134,71 @@ def execute_profile(spark, profile: "Profile", *, load=None) -> tuple:
                 return spark.read.parquet(p)
             return load_file(spark, p)
 
-    base_key = profile.base.key_column
-    df = apply_batch_filter(load(profile.base.path), profile.batch_filter, base_key)
+    wd = Path(work_dir) if work_dir else None
+    if wd:
+        (wd / "commits").mkdir(parents=True, exist_ok=True)
+
+    def _marker(i: int) -> Path:
+        return wd / "commits" / f"source_{i}.json"
+
+    def _out(i: int) -> str:
+        return str(wd / f"source_{i}.parquet")
 
     sources_info: list[dict] = []
     mappings_info: list[dict] = []
+    start = 0
+    df = None
+    if wd:
+        for i in reversed(range(len(profile.sources))):
+            if _marker(i).exists():
+                start = i + 1
+                df = spark.read.parquet(_out(i))
+                for j in range(i + 1):  # replay committed stats in order
+                    if _marker(j).exists():
+                        doc = _json.loads(_marker(j).read_text())
+                        if doc.get("source_info"):
+                            sources_info.append(doc["source_info"])
+                        mappings_info += doc.get("mappings_info", [])
+                break
+    if df is None:
+        base_key = profile.base.key_column
+        df = apply_batch_filter(
+            load(profile.base.path), profile.batch_filter, base_key
+        )
+    base_key = profile.base.key_column
+
     for i, spec in enumerate(profile.sources):
+        if i < start:
+            continue
         bound = [
             m
             for m in profile.mappings
             if m.source_id == spec.name or (not m.source_id and i == 0)
         ]
         if not bound:
+            if wd:  # commit a pass-through marker so resume indexing holds
+                df.write.mode("overwrite").parquet(_out(i))
+                df = spark.read.parquet(_out(i))
+                _marker(i).write_text(_json.dumps({"source": spec.name}))
             continue
         src = load(spec.path)
         opts = spec.key_options or profile.base.key_options
         st = match_stats(df, src, base_key, spec.key_column, opts)
-        sources_info.append(
-            {"filename": Path(spec.path).name, "key_column": spec.key_column, **st}
-        )
+        source_info = {
+            "filename": Path(spec.path).name, "key_column": spec.key_column, **st
+        }
+        sources_info.append(source_info)
         joined = enrich_join(
             df, src, base_key, spec.key_column,
             bound[0].source_column or src.columns[0], key_options=opts,
         )
         folded = apply_mappings(joined, bound, matched=F.col("__matched"))
-        drop = [c for c in folded.columns if c.startswith("src_")]
+        # drop exactly the prefixed columns the enrich join ADDED — a base
+        # table column legitimately named src_* must survive the fold
+        added = {f"src_{c}" for c in src.columns}
+        drop = [c for c in folded.columns if c in added]
         df = folded.drop("__matched", "__conflicts", *drop)
-        mappings_info += [
+        minfo = [
             {
                 "source_column": m.source_column or m.source_template,
                 "target_column": m.target_column,
@@ -156,6 +207,19 @@ def execute_profile(spark, profile: "Profile", *, load=None) -> tuple:
             for m in sorted(bound, key=lambda m: m.priority)
             if m.enabled
         ]
+        mappings_info += minfo
+        if wd:
+            # materialize + commit: marker written only AFTER the parquet
+            # lands, so a crash mid-write resumes from the prior source
+            df.write.mode("overwrite").parquet(_out(i))
+            df = spark.read.parquet(_out(i))
+            _marker(i).write_text(
+                _json.dumps(
+                    {"source": spec.name, "source_info": source_info,
+                     "mappings_info": minfo},
+                    default=str,
+                )
+            )
     return df, sources_info, mappings_info
 
 

@@ -30,6 +30,7 @@ from datamatcher_spark.norm.transforms import (
 )
 from datamatcher_spark.functions.similarity import levenshtein_sim_expr
 from datamatcher_spark.functions.textstats import (
+    STOPWORDS,
     fingerprint_expr,
     lang_id_expr,
     quality_score_expr,
@@ -62,13 +63,17 @@ from datamatcher_spark.operators.reporter import (
 @dataclass
 class CatalogEntry:
     spark: Callable[[SparkSession, str], DataFrame]
-    sql: Optional[str]  # None → rows-only check (non-SQL-expressible)
+    # None → rows-only check (non-SQL-expressible); a zero-arg callable is
+    # resolved lazily at oracle_sql() time — for VALUES oracles whose
+    # construction costs real compute (Python recompute over the corpus),
+    # so bench/test imports stay cheap
+    sql: Optional[str | Callable[[], str]]
 
 
 CATALOG: dict[str, CatalogEntry] = {}
 
 
-def register(name: str, sql: Optional[str]):
+def register(name: str, sql: Optional[str | Callable[[], str]]):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             from datamatcher_spark.session import ensure_package_shipped
@@ -119,21 +124,30 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "p1_filter_range",
+    "p1_p4_range_regex",
     """
-    WITH numbered AS (
-      SELECT o_orderkey, o_totalprice,
-             row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
-      FROM orders
+    WITH matched AS (
+      SELECT p_partkey, p_name FROM part
+      WHERE regexp_matches(p_name, '(?i)r.d\\s+w.dget')
+    ), numbered AS (
+      SELECT p_partkey, p_name,
+             row_number() OVER (ORDER BY p_partkey) - 1 AS rn
+      FROM matched
     )
-    SELECT o_orderkey, o_totalprice FROM numbered WHERE rn BETWEEN 100 AND 199
+    SELECT p_partkey, p_name FROM numbered WHERE rn BETWEEN 5 AND 29
     """,
 )
-def q_p1(spark, sf_dir):
-    return filter_range(
-        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
-        "o_orderkey", 100, 199,
+def q_p1_p4(spark, sf_dir):
+    """P4 regex key filter stacked with P1 row-range batch filter — one
+    entry covering both, each genuinely binding (regex keeps 37 part rows
+    at sf0.01; the range then keeps rows 5..29 of the match set). Merged
+    from two separate r3 entries to free a catalog slot under the
+    50-entry driver cap."""
+    matched = filter_key_regex(
+        _t(spark, sf_dir, "part").select("p_partkey", "p_name"),
+        "p_name", r"r.d\s+w.dget",
     )
+    return filter_range(matched, "p_partkey", 5, 29)
 
 
 _P2_KEYS = [str(k) for k in (1, 7, 42, 99, 123, 500, 611, 733, 850, 901,
@@ -160,12 +174,56 @@ def q_p2_p3(spark, sf_dir):
 
 
 @register(
-    "p4_filter_key_regex",
-    "SELECT p_partkey, p_name FROM part WHERE regexp_matches(p_name, '(?i)r.d\\s+w.dget')",
+    "conflict_stamp_lineage",
+    # reference parity: core/data_source.py:263-282 counts the extra
+    # data-bearing candidate rows per key; matcher.py:262-282 records them
+    # as duplicate conflicts. Source = orders keyed by o_custkey (1498 of
+    # 1500 customers have ≥2 orders at sf0.01 — real duplicate-key
+    # conflicts, up to 25 candidates). The mapped VALUE is the key itself,
+    # so the window's winner choice cannot affect the written value and
+    # the oracle needs no file-order tiebreak.
+    """
+    WITH cnt AS (
+      SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey,
+           CASE WHEN k IS NULL THEN customer.c_name
+                ELSE CAST(k AS VARCHAR) END AS c_name,
+           CASE WHEN k IS NULL THEN 'no_match'
+                WHEN n > 1 THEN 'conflict' ELSE 'changed' END AS change_type,
+           CAST(CASE WHEN k IS NULL THEN NULL ELSE n - 1 END AS BIGINT)
+             AS conflicts
+    FROM customer LEFT JOIN cnt ON c_custkey = k
+    """,
 )
-def q_p4(spark, sf_dir):
-    return filter_key_regex(
-        _t(spark, sf_dir, "part").select("p_partkey", "p_name"), "p_name", r"r.d\s+w.dget"
+def q_conflict_stamp(spark, sf_dir):
+    """Per-cell CONFLICT lineage: J3's duplicate-aware window counts the
+    losing data-bearing candidates (``__conflicts``), and
+    ``apply_mappings(conflicts=...)`` stamps written cells whose source
+    key carried extra candidates with ChangeType.CONFLICT — the
+    engine-side twin of the reference's conflict-resolver feed."""
+    from datamatcher_spark.operators.enrich import enrich_join
+    from datamatcher_spark.operators.merge import ColumnMapping, apply_mappings
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    joined = enrich_join(cust, orders, "c_custkey", "o_custkey", "o_custkey")
+    folded = apply_mappings(
+        joined,
+        [
+            ColumnMapping(
+                source_column="o_custkey", target_column="c_name",
+                write_mode=WriteMode.OVERWRITE,
+            )
+        ],
+        matched=F.col("__matched"),
+        conflicts=F.col("__conflicts"),
+    )
+    return folded.select(
+        "c_custkey",
+        "c_name",
+        F.col("__change_c_name").alias("change_type"),
+        F.col("__conflicts").cast("bigint").alias("conflicts"),
     )
 
 
@@ -1038,6 +1096,98 @@ def q_conflict_override(spark, sf_dir):
     return apply_conflict_overrides(merged, "o_orderkey", overrides, ["segment"])
 
 
+_EMPTY_IN_SQL = "('NULL','N/A','#N/A','-','BRAK','NAN','NONE')"
+
+
+@register(
+    "change_log_unpivot",
+    f"""
+    WITH j AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority LIKE '1-%' THEN NULL
+                  ELSE o_orderpriority END AS cur1,
+             o_orderstatus AS cur2,
+             c_mktsegment AS new1,
+             c_name AS new2
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), e AS (
+      SELECT *,
+             (cur1 IS NULL OR trim(cur1) = ''
+              OR upper(trim(cur1)) IN {_EMPTY_IN_SQL}) AS cur1_empty,
+             (cur2 IS NULL OR trim(cur2) = ''
+              OR upper(trim(cur2)) IN {_EMPTY_IN_SQL}) AS cur2_empty,
+             (new2 IS NULL OR trim(new2) = ''
+              OR upper(trim(new2)) IN {_EMPTY_IN_SQL}) AS new2_empty
+      FROM j
+    )
+    SELECT 'priority' AS kolumna, CAST(o_orderkey AS VARCHAR) AS klucz,
+           cur1 AS wartosc_przed, new1 AS wartosc_po,
+           'customer.parquet' AS zrodlo, 'Nadpisz jeśli inne' AS tryb,
+           CASE WHEN cur1_empty THEN 'nowa' ELSE 'zmieniona' END AS typ_zmiany
+    FROM e WHERE cur1 IS DISTINCT FROM new1
+    UNION ALL
+    SELECT 'note', CAST(o_orderkey AS VARCHAR), cur2,
+           CASE WHEN NOT cur2_empty THEN concat(cur2, ' | ', new2)
+                ELSE new2 END,
+           'customer.parquet', 'Dopisz',
+           CASE WHEN cur2_empty THEN 'nowa' ELSE 'zmieniona' END
+    FROM e WHERE NOT new2_empty
+    """,
+)
+def q_change_log(spark, sf_dir):
+    """The reference's per-cell change-log artifact
+    (core/reporter.py:118-136 export_change_log) produced distributed:
+    a two-mapping merge fold run with retain_old=True, then ONE
+    array-of-structs unpivot projection — old value, new value, source,
+    mode display name and change type per modified cell, NEW/CHANGED
+    rows only. The oracle re-derives every cell transition in SQL from
+    the reference's write-mode decision table."""
+    from datamatcher_spark.operators.merge import ColumnMapping, apply_mappings
+    from datamatcher_spark.operators.report_render import change_log
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority").startswith("1-"), F.lit(None).cast("string")
+        ).otherwise(F.col("o_orderpriority")).alias("priority"),
+        F.col("o_orderstatus").alias("note"),
+        F.col("c_mktsegment").alias("src_segment"),
+        F.col("c_name").alias("src_name"),
+        F.col("c_custkey").isNotNull().alias("__matched"),
+    )
+    mappings = [
+        ColumnMapping(
+            source_column="segment", target_column="priority",
+            write_mode=WriteMode.OVERWRITE_IF_DIFFERENT, priority=0,
+        ),
+        ColumnMapping(
+            source_column="name", target_column="note",
+            write_mode=WriteMode.APPEND, priority=1,
+        ),
+    ]
+    folded = apply_mappings(
+        joined, mappings, matched=F.col("__matched"), retain_old=True
+    )
+    return change_log(
+        folded,
+        "o_orderkey",
+        [
+            {
+                "target_column": "priority",
+                "write_mode": WriteMode.OVERWRITE_IF_DIFFERENT,
+                "source_name": "customer.parquet",
+            },
+            {
+                "target_column": "note",
+                "write_mode": WriteMode.APPEND,
+                "source_name": "customer.parquet",
+            },
+        ],
+    )
+
+
 @register(
     "rule_operators_filter",
     """
@@ -1143,7 +1293,43 @@ def q_minhash_crosscheck(spark, sf_dir):
     )
 
 
-@register("dedup_simhash", None)  # seeded UDF — rows-only + pytest oracle
+def _simhash_oracle_sql() -> str:
+    """Lazy VALUES oracle for ``dedup_simhash``: recompute every simhash
+    in pure Python (functions/pyhash.py — its own XXH64, pinned bit-equal
+    to Spark's) over the SAME corpus, then the full O(n²) hamming truth.
+    Sound because the operator guarantees EXACT recall AND precision at
+    max_hamming (Manku chunk-combination blocking, no block cap), so the
+    blocked distributed plan must reproduce the unblocked quadratic —
+    the same contract as the ngram and embedding-LSH oracles. Reads the
+    sf0.01 corpus (the driver's correctness SF; override with
+    $SPARK_GRAFT_ORACLE_SF_DIR)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datamatcher_spark.functions.pyhash import expected_simhash_pairs
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = expected_simhash_pairs(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist(), max_hamming=3
+    )
+    if not pairs:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,"
+            " CAST(NULL AS INTEGER) AS hamming WHERE FALSE"
+        )
+    vals = ",\n      ".join(f"({a}, {b}, {h})" for a, b, h in pairs)
+    return f"""
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(hamming AS INTEGER) AS hamming
+    FROM (VALUES
+      {vals}
+    ) AS t(id_a, id_b, hamming)
+    """
+
+
+@register("dedup_simhash", _simhash_oracle_sql)
 def q_dedup_simhash(spark, sf_dir):
     # defaults: max_hamming=3 with 5-chunk combination blocking — recall
     # is exact for the threshold (Manku-style pigeonhole), not just for
@@ -1268,16 +1454,51 @@ def q_embed_dedup_lsh(spark, sf_dir):
     )
 
 
+# the quality/langid heuristics are pure deterministic expressions, so
+# the oracle mirrors them term by term in DuckDB SQL (same move as the
+# ngram-jaccard oracle) — this entry subsumes the former rows-only
+# `text_quality_langid` entry, fully hash-checked
+_STOPWORD_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in STOPWORDS.items()
+}
+
 @register(
     "text_stats",
-    """
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS tk,
+             length(regexp_replace(text, '\\s', '', 'g')) AS non_space,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text, tk, non_space, n_alpha,
+             least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS len_score,
+             CASE WHEN non_space > 0
+                  THEN CAST(n_alpha AS DOUBLE) / non_space ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN len(tk) > 0
+                  THEN CAST(non_space AS DOUBLE) / len(tk) ELSE 0.0 END AS mean_wl,
+             len(list_intersect(list_distinct(tk), {_STOPWORD_SQL['en']})) AS h_en,
+             len(list_intersect(list_distinct(tk), {_STOPWORD_SQL['pl']})) AS h_pl,
+             len(list_intersect(list_distinct(tk), {_STOPWORD_SQL['de']})) AS h_de
+      FROM toks
+    )
     SELECT doc_id,
-           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
-                                t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
            md5(array_to_string(list_sort(list_distinct(list_filter(
              string_split_regex(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
-                                '\\s+'), t -> t <> ''))), ' ')) AS fp
-    FROM documents
+                                '\\s+'), t -> t <> ''))), ' ')) AS fp,
+           round((len_score
+                  + alpha_ratio
+                  + CASE WHEN mean_wl >= 2.0 AND mean_wl <= 12.0
+                         THEN 1.0 ELSE 0.3 END) / 3.0, 4) AS quality,
+           CASE WHEN h_en > 0 AND h_en >= h_pl AND h_en >= h_de THEN 'en'
+                WHEN h_pl > 0 AND h_pl >= h_en AND h_pl >= h_de THEN 'pl'
+                WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_pl THEN 'de'
+                ELSE 'und' END AS lang_pred
+    FROM scored
     """,
 )
 def q_textstats(spark, sf_dir):
@@ -1286,14 +1507,6 @@ def q_textstats(spark, sf_dir):
         "doc_id",
         token_count_expr(F.col("text")).alias("n_tokens"),
         fingerprint_expr(F.col("text")).alias("fp"),
-    )
-
-
-@register("text_quality_langid", None)  # heuristic composites — rows-only
-def q_quality(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
         quality_score_expr(F.col("text")).alias("quality"),
         lang_id_expr(F.col("text")).alias("lang_pred"),
     )

@@ -59,6 +59,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # lazy VALUES oracles (e.g. dedup_simhash) recompute over the corpus
+    # at THIS sf — keep them pointed at the dir being checked
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     from datamatcher_spark.queries_catalog import CATALOG
     from datamatcher_spark.session import get_spark
 
@@ -99,7 +105,8 @@ def main():
             # to_pylist) while HUGEINT/DECIMAL surface as decimal.Decimal,
             # which canon_cell tags as float — so genuine type drift is
             # still caught.
-            tbl = con.execute(entry.sql).arrow()
+            sql = entry.sql() if callable(entry.sql) else entry.sql
+            tbl = con.execute(sql).arrow()
             d_cols = list(tbl.column_names)
             d_rows = [
                 tuple(rec[c] for c in d_cols) for rec in tbl.to_pylist()

@@ -84,19 +84,29 @@ def test_cache_scope_releases_persisted_rdds(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
 
-    def n_persisted() -> int:
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def persisted_ids() -> set:
+        # id-based census: earlier tests' localCheckpoint RDDs are
+        # cleaned ASYNCHRONOUSLY by the ContextCleaner, so a raw size
+        # comparison races; set difference only sees OUR additions
+        it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
 
-    before = n_persisted()
+    before = persisted_ids()
     with cache_scope() as cs:
         minhash_near_duplicates(docs, "doc_id", "text", caches=cs).count()
         simhash_near_duplicates(docs, "doc_id", "text", caches=cs).count()
         ngram_jaccard_duplicates(
             docs, "doc_id", "text", threshold=0.85, caches=cs
         ).count()
-        assert len(cs) == 3
-        assert n_persisted() == before + 3
-    assert n_persisted() == before
+        # minhash bands + simhash base + ngram gram arrays + ngram's
+        # df-order banded prefix table (persisted since r4 — both
+        # self-join sides consume the explode→dfreq-join→regroup pipeline)
+        assert len(cs) == 4
+        assert len(persisted_ids() - before) == 4
+    assert len(persisted_ids() - before) == 0
 
 
 def _brute_ngram_pairs(texts: dict, n: int, threshold: float) -> dict:

@@ -44,11 +44,11 @@ def test_catalog_structure():
     # operator gets a correctness row
     assert len(qs) == 50
     assert set(sqls) <= set(qs)
-    # the genuinely non-SQL ops are the only ones without oracles
-    assert set(qs) - set(sqls) == {
-        "dedup_minhash_lsh", "dedup_simhash",
-        "text_quality_langid", "simsearch_ivf",
-    }
+    # the genuinely approximation-defined ops are the only ones without
+    # oracles: minhash output is truncation-defined (the corpus has 71k
+    # pairs over threshold; the entry's band caps bound it), IVF nprobe
+    # genuinely misses true top-k (verified ≠ brute force)
+    assert set(qs) - set(sqls) == {"dedup_minhash_lsh", "simsearch_ivf"}
 
 
 def test_no_array_or_map_output_columns(spark):

@@ -52,6 +52,43 @@ def test_resume_skips_committed_stages(spark, corpus, tmp_path_factory):
     assert a == b
 
 
+def test_uid_bits_128(spark, corpus, tmp_path_factory):
+    """The 10^12-doc id width: the pipeline must produce the SAME
+    clusters (as url sets) with 16-byte struct uids as with 8-byte longs,
+    and the shuffle keys must stay fixed-width either way."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructType
+
+    from datamatcher_spark.plans.blocking import block_keys
+    from datamatcher_spark.plans.scoring import candidate_pairs
+
+    pt, labeled = corpus
+    pages = pt.drop("cluster_id")
+    work64 = str(tmp_path_factory.mktemp("uid64"))
+    work128 = str(tmp_path_factory.mktemp("uid128"))
+    r64 = run_pipeline(spark, pages, work64, "u64", PipelineConfig())
+    r128 = run_pipeline(spark, pages, work128, "u128", PipelineConfig(uid_bits=128))
+    assert r64.counts["pairs_scored"] == r128.counts["pairs_scored"]
+    assert r64.counts["clusters"] == r128.counts["clusters"]
+
+    def cluster_sets(res):
+        rows = res.clusters.groupBy("cluster_id").agg(
+            F.sort_array(F.collect_list("url")).alias("urls")
+        ).collect()
+        return {tuple(r.urls) for r in rows}
+
+    assert cluster_sets(r64) == cluster_sets(r128)
+    # fixed-width shuffle keys: long at 64, struct<h1,h2 long> at 128 —
+    # never url strings
+    p64 = candidate_pairs(block_keys(pages, PipelineConfig()))
+    p128 = candidate_pairs(block_keys(pages, PipelineConfig(uid_bits=128)))
+    assert isinstance(p64.schema["uid_a"].dataType, LongType)
+    t = p128.schema["uid_a"].dataType
+    assert isinstance(t, StructType) and [f.dataType for f in t.fields] == [
+        LongType(), LongType()
+    ]
+
+
 def test_partial_resume(spark, corpus, tmp_path_factory):
     """Simulate a crash after stage 2: markers for block+score exist, the
     relaunch runs only cluster."""

@@ -172,3 +172,62 @@ def test_run_report_sections(spark, tmp_path):
     files = glob.glob(str(csv_dir / "*.csv"))
     body = "".join(open(f).read() for f in files)
     assert "klucz_bazowy" in body and "C" in body
+
+
+def test_execute_profile_mid_job_resume(spark, tmp_path):
+    """Reference utils/session.py:17-98 persists the processing position;
+    the distributed twin is per-source commit markers: a relaunch with
+    the same work_dir resumes AFTER the last committed source — the base
+    and already-folded sources are never reloaded or refolded."""
+    from datamatcher_spark.operators.merge import ColumnMapping, WriteMode
+    from datamatcher_spark.plans.profiles import (
+        Profile,
+        SourceSpec,
+        execute_profile,
+    )
+
+    frames = {
+        "base": spark.createDataFrame(
+            [("1", "t-old", ""), ("2", "", "")],
+            "ean string, title string, brand string",
+        ),
+        "s1": spark.createDataFrame([("1", "T1")], "ean string, tytul string"),
+        "s2": spark.createDataFrame([("2", "B2")], "ean string, marka string"),
+    }
+    loads: list[str] = []
+
+    def load(p):
+        loads.append(p)
+        return frames[p]
+
+    prof = Profile(
+        name="resume",
+        base=SourceSpec("base", "base", "ean"),
+        sources=[SourceSpec("s1", "s1", "ean"), SourceSpec("s2", "s2", "ean")],
+        mappings=[
+            ColumnMapping(source_column="tytul", target_column="title",
+                          write_mode=WriteMode.OVERWRITE, source_id="s1"),
+            ColumnMapping(source_column="marka", target_column="brand",
+                          write_mode=WriteMode.FILL_EMPTY, source_id="s2"),
+        ],
+    )
+    wd = tmp_path / "enrich_work"
+    out1, si1, mi1 = execute_profile(spark, prof, load=load, work_dir=wd)
+    full = {(r.ean, r.title, r.brand) for r in out1.collect()}
+    assert loads == ["base", "s1", "s2"]
+
+    # crash-after-source-1 simulation: wipe source-2's commit marker only
+    (wd / "commits" / "source_1.json").unlink()
+    loads.clear()
+    out2, si2, mi2 = execute_profile(spark, prof, load=load, work_dir=wd)
+    assert loads == ["s2"], "resume must not reload base or source 1"
+    assert {(r.ean, r.title, r.brand) for r in out2.collect()} == full
+    assert [s["filename"] for s in si2] == [s["filename"] for s in si1]
+    assert mi2 == mi1
+
+    # full-skip relaunch: every source committed → nothing reloaded
+    loads.clear()
+    out3, si3, mi3 = execute_profile(spark, prof, load=load, work_dir=wd)
+    assert loads == []
+    assert {(r.ean, r.title, r.brand) for r in out3.collect()} == full
+    assert si3 == si2 and mi3 == mi2
