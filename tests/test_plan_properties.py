@@ -131,3 +131,23 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_orders")
         spark.sql("DROP TABLE IF EXISTS bk_customer")
         shutil.rmtree(Path("spark-warehouse"), ignore_errors=True)
+
+
+def test_change_log_unpivot_is_one_pass_no_extra_shuffle(spark):
+    """The change-log artifact must fold out of the merged frame in one
+    array-of-structs projection: a single join of the two scans, one
+    Generate (the unpivot explode), and no aggregation — at 100 TB any
+    extra pass or shuffle here doubles the cost of the export."""
+    plan = plan_of(spark, "change_log_unpivot")
+    assert plan.count("Scan parquet") == 2  # orders + customer, once each
+    assert plan.count("Join") == 1
+    assert "Generate explode" in plan
+    assert "HashAggregate" not in plan and "CartesianProduct" not in plan
+
+
+def test_conflict_stamp_windows_once_over_one_join(spark):
+    """Conflict stamping rides J3's existing window — stamping must not
+    add scans or joins beyond the enrichment join itself."""
+    plan = plan_of(spark, "conflict_stamp_lineage")
+    assert plan.count("Scan parquet") == 2  # customer + orders, once each
+    assert "CartesianProduct" not in plan
