@@ -100,9 +100,16 @@ class MetricsTable:
 
 
 def partition_lineage(df: DataFrame, *, score_col: str | None = None,
-                      block_col: str | None = None, buckets: int = 20) -> DataFrame:
+                      block_col: str | None = None, buckets: int = 20,
+                      accept_col: str | None = None) -> DataFrame:
     """Per-partition lineage aggregate: pair/row counts and (optionally) a
-    bucketed score histogram, grouped by physical partition id."""
+    bucketed score histogram, grouped by physical partition id.
+
+    ``accept_col`` piggybacks an accepted-edge counter (``accepted_n``)
+    onto the same pass — the caller folds the global accepted total from
+    the collected rows instead of paying a second scan of the scored-pair
+    table (the extra column is NOT part of METRICS_SCHEMA; strip it
+    before appending)."""
     d = df.withColumn("partition_id", F.spark_partition_id())
     aggs = [F.count("*").alias("pair_count")]
     if score_col is not None:
@@ -116,12 +123,13 @@ def partition_lineage(df: DataFrame, *, score_col: str | None = None,
         hist = F.map_from_entries(
             F.collect_list(F.struct("score_bucket", "bucket_n"))
         ).alias("score_histogram")
-        per_bucket = d.groupBy("partition_id", "score_bucket").agg(
-            F.count("*").alias("bucket_n")
-        )
-        return per_bucket.groupBy("partition_id").agg(
-            F.sum("bucket_n").alias("pair_count"), hist
-        )
+        inner = [F.count("*").alias("bucket_n")]
+        outer = [F.sum("bucket_n").alias("pair_count"), hist]
+        if accept_col is not None:
+            inner.append(F.count_if(F.col(accept_col)).alias("acc_n"))
+            outer.append(F.sum("acc_n").cast("long").alias("accepted_n"))
+        per_bucket = d.groupBy("partition_id", "score_bucket").agg(*inner)
+        return per_bucket.groupBy("partition_id").agg(*outer)
     if block_col is not None:
         return d.groupBy("partition_id").agg(
             F.count("*").alias("pair_count"),

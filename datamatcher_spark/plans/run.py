@@ -83,8 +83,19 @@ def run_pipeline(
         wall = int((time.monotonic() - t0) * 1000)
 
         blocks_df = spark.read.parquet(blocks_path)
-        lineage = partition_lineage(blocks_df, block_col="block_key")
-        mt.append(lineage, "block", wall)
+        # ONE pass over the block table serves both the lineage rows and
+        # the row count: the per-partition aggregate is tiny (≤ shuffle
+        # partitions rows), so collect it, append from the collected rows,
+        # and fold the total driver-side — a separate blocks_df.count()
+        # was a second full scan of the largest stage-1 output
+        lineage_rows = partition_lineage(blocks_df, block_col="block_key").collect()
+        mt.append(
+            spark.createDataFrame(
+                lineage_rows or [], "partition_id int, pair_count long"
+            ),
+            "block",
+            wall,
+        )
         # truncated-block census: never silent (one lineage row per block)
         trunc_rows = truncated_df.select(
             F.lit(None).cast("int").alias("partition_id"),
@@ -92,7 +103,7 @@ def run_pipeline(
             F.col("block_size").alias("pair_count"),
         )
         mt.append(trunc_rows, "block_truncated", wall)
-        counts["blocks"] = blocks_df.count()
+        counts["blocks"] = sum(r.pair_count for r in lineage_rows)
         counts["truncated_blocks"] = len(truncated)
         counts["block_wall_ms"] = wall
         mt.commit("block", **{k: counts[k] for k in ("blocks", "truncated_blocks")})
@@ -112,16 +123,27 @@ def run_pipeline(
         wall = int((time.monotonic() - t0) * 1000)
 
         scored_df = spark.read.parquet(edges_path)
+        # one pass serves lineage + totals (same fusion as the block
+        # stage): the per-partition aggregate is tiny, so collect it,
+        # append the METRICS_SCHEMA columns, and fold pair/accepted
+        # totals driver-side — the separate count/count_if agg was a
+        # second full scan of the scored-pair table
+        lineage_rows = partition_lineage(
+            scored_df, score_col="score", buckets=cfg.histogram_buckets,
+            accept_col="accepted",
+        ).collect()
         mt.append(
-            partition_lineage(scored_df, score_col="score", buckets=cfg.histogram_buckets),
+            spark.createDataFrame(
+                [(r.partition_id, r.pair_count, r.score_histogram)
+                 for r in lineage_rows] or [],
+                "partition_id int, pair_count long, "
+                "score_histogram map<string,long>",
+            ),
             "score",
             wall,
         )
-        agg = scored_df.agg(
-            F.count("*").alias("n"), F.count_if("accepted").alias("acc")
-        ).collect()[0]
-        counts["pairs_scored"] = agg.n
-        counts["edges_accepted"] = agg.acc
+        counts["pairs_scored"] = sum(r.pair_count for r in lineage_rows)
+        counts["edges_accepted"] = sum(r.accepted_n for r in lineage_rows)
         counts["score_wall_ms"] = wall
         mt.commit("score", **{k: counts[k] for k in
                               ("pairs_scored", "edges_accepted", "score_wall_ms")})
