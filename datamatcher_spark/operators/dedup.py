@@ -115,10 +115,17 @@ def minhash_near_duplicates(
     """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) via MinHash-LSH
     banding + exact token-Jaccard verification. Pass ``caches`` (see
     ``cache_scope``) to release the persisted band table explicitly."""
+    # layered: toks materialized first, then shingle hashes built FROM the
+    # token column — inlining the token split into the per-gram lambda
+    # re-evaluates it per gram position (O(n²)/doc; see word_shingles_expr)
     base = df.select(
         F.col(id_col).alias("id"),
         tokens_expr(F.col(text_col)).alias("toks"),
-        shingle_hashes_expr(word_shingles_expr(F.col(text_col), shingle_words)).alias("hs"),
+    ).withColumn(
+        "hs",
+        shingle_hashes_expr(
+            word_shingles_expr(None, shingle_words, tokens=F.col("toks"))
+        ),
     ).withColumn("sig", minhash_signature_udf(k, seed)(F.col("hs")))
     # persist: the size census and BOTH sides of the self-join consume
     # this — without it the signature UDF runs 4× over the corpus

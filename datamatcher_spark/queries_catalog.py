@@ -1279,11 +1279,24 @@ def q_minhash_crosscheck(spark, sf_dir):
         word_shingles_expr,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    hs = shingle_hashes_expr(word_shingles_expr(F.col("text"), 3))
+    from datamatcher_spark.functions.minhash import tokens_expr
+
+    # layered __toks/__hs columns — the perf contract of
+    # word_shingles_expr / minhash_signature_expr (inline, the token
+    # split and the shingle pipeline re-evaluate per lambda element)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("__toks", tokens_expr(F.col("text")))
+        .withColumn(
+            "__hs",
+            shingle_hashes_expr(
+                word_shingles_expr(None, 3, tokens=F.col("__toks"))
+            ),
+        )
+    )
     sigs = d.select(
-        minhash_signature_udf(16, 1337)(hs).alias("sig_udf"),
-        minhash_signature_expr(hs, 16, 1337).alias("sig_expr"),
+        minhash_signature_udf(16, 1337)(F.col("__hs")).alias("sig_udf"),
+        minhash_signature_expr(F.col("__hs"), 16, 1337).alias("sig_expr"),
     )
     return sigs.agg(
         F.count("*").alias("rows_checked"),
