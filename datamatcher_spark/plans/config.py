@@ -42,6 +42,18 @@ class PipelineConfig:
     # stage 3 — clustering
     max_cc_iterations: int = 20
 
+    # Feature-join strategy cutover: at or below this many feature rows
+    # the score stage BROADCASTS the slim feature table onto the pair
+    # stream (two broadcasts, ~2.5 KB/row in memory — size driver/executor
+    # heap accordingly); above it, both feature joins are declared
+    # shuffle-hash on uid. The cutover exists because Spark's static
+    # planner estimates from PARQUET size, and token-hash arrays compress
+    # ~20×: at 480k docs the stats said "60 MB, broadcast it" and the
+    # 1 GB in-memory build killed a 4 GB driver. At 10^12 docs the
+    # feature table can never broadcast — the shuffle-hash path IS the
+    # production plan; the broadcast path is the small-corpus fast path.
+    broadcast_feature_rows: int = 250_000
+
     # doc-id width for every wide shuffle (pairs, feature joins, CC).
     # 64 → one xxhash64 of the url (8-byte keys; collision expectation
     # n²/2⁶⁵ — negligible to ~10⁹ docs). 128 → a two-seed xxhash64

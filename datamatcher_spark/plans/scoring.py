@@ -82,6 +82,18 @@ def score_pairs(pairs: DataFrame, feats: DataFrame, cfg: PipelineConfig) -> Data
         F.col("title_norm").alias("title_b"),
         F.col("tok_hashes").alias("tokens_b"),
     )
+    # Explicit join strategy — never trust the static size estimate here:
+    # feats comes from parquet whose stats undercount the in-memory
+    # token-hash arrays ~20×, so the planner happily broadcasts a table
+    # that explodes the driver (observed at 480k docs / 4 GB heap). Count
+    # the rows (parquet-metadata cheap) and choose: small corpus →
+    # broadcast both sides; otherwise shuffle-hash on uid (the
+    # 10^12-doc plan — co-partitioned with the pair stream, no sort on
+    # the big side).
+    if feats.count() <= cfg.broadcast_feature_rows:
+        fa, fb = F.broadcast(fa), F.broadcast(fb)
+    else:
+        fa, fb = fa.hint("shuffle_hash"), fb.hint("shuffle_hash")
     scored = (
         pairs.join(fa, "uid_a").join(fb, "uid_b")
         # cheap prune before the Arrow UDF — Catalyst pushes this below
