@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datamatcher_spark.functions.minhash import jaccard_tokens_expr
+from datamatcher_spark.functions.minhash import jaccard_distinct_sets_expr
 from datamatcher_spark.functions.similarity import jaro_winkler_udf
 from datamatcher_spark.plans.config import PipelineConfig
 
@@ -103,8 +103,11 @@ def score_pairs(pairs: DataFrame, feats: DataFrame, cfg: PipelineConfig) -> Data
             <= cfg.length_delta_prefilter
         )
         .withColumn("jw_title", jaro_winkler_udf("title_a", "title_b"))
+        # tok_hashes is sorted-distinct by construction (features()), so
+        # the |A|+|B|−|∩| form is exact — no re-distinct, no union array
         .withColumn(
-            "jaccard_text", jaccard_tokens_expr(F.col("tokens_a"), F.col("tokens_b"))
+            "jaccard_text",
+            jaccard_distinct_sets_expr(F.col("tokens_a"), F.col("tokens_b")),
         )
         .withColumn("score", F.greatest("jw_title", "jaccard_text"))
         .withColumn(
