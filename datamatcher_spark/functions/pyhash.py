@@ -85,12 +85,38 @@ def xxh64(data: bytes | str, seed: int = 42) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def xxh64_chain(data: bytes | str, tail_int: int, seed: int = 42) -> int:
+    """Twin of Spark's two-column ``F.xxhash64(str_col, int_lit)``: Spark's
+    multi-column hash chains the running hash as the seed, and an
+    IntegerType lane is hashed as its 4 little-endian bytes — so the
+    result is ``xxh64(int32_le, seed=xxh64(data, seed))``. Pinned bit-equal
+    to Spark by tests/test_pyhash_changelog.py."""
+    h = xxh64(data, seed)
+    return xxh64((tail_int & 0xFFFFFFFF).to_bytes(4, "little"), seed=h & _M)
+
+
+def round_half_up(x: float, digits: int = 6) -> float:
+    """Twin of Spark's ``F.round(col, d)`` on doubles: Java
+    ``BigDecimal.valueOf(x)`` (shortest decimal repr, same as Python
+    ``repr``) → ``setScale(d, HALF_UP)`` → back to double. Python's
+    built-in ``round`` is banker's rounding — diverges on exact .5s."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def tokens_py(text: str | None) -> list[str]:
     """``functions.minhash.tokens_expr`` twin: lowercase, split on runs
-    of whitespace, drop empty tokens."""
+    of whitespace, drop empty tokens. ``re.ASCII`` pins Python's ``\\s``
+    (Unicode: NBSP, U+0085, …) to Java's ASCII-only ``\\s`` so the twin
+    tokenizes non-ASCII whitespace exactly like the Spark expression."""
     if text is None:
         return []
-    return [t for t in re.split(r"\s+", text.lower()) if t != ""]
+    return [t for t in re.split(r"\s+", text.lower(), flags=re.ASCII) if t != ""]
 
 
 def simhash_py(text: str | None, bits: int = 64, seed: int = 7,
@@ -120,6 +146,107 @@ def simhash_py(text: str | None, bits: int = 64, seed: int = 7,
     votes = ((x[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
     sim = ((votes * 2 > len(hv)).astype(np.uint64) << shifts).sum()
     return int(np.int64(sim))
+
+
+def word_shingles_py(toks: list[str], n: int = 3) -> list[str]:
+    """``functions.minhash.word_shingles_expr`` twin: word n-grams; docs
+    of ≤ n words yield the single whole-text shingle."""
+    if len(toks) <= n:
+        return [" ".join(toks)]
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def shingle_hashes_py(shingles: list[str], _cache: dict | None = None) -> list[int]:
+    """``shingle_hashes_expr`` twin: first-occurrence-distinct shingles →
+    pmod(xxh64, MERSENNE_P). Python ``%`` on a negative int is already
+    non-negative — identical to Spark's pmod."""
+    if _cache is None:
+        _cache = {}
+    seen: set[str] = set()
+    out: list[int] = []
+    for s in shingles:
+        if s in seen:
+            continue
+        seen.add(s)
+        h = _cache.get(s)
+        if h is None:
+            h = xxh64(s) % MERSENNE_P
+            _cache[s] = h
+        out.append(h)
+    return out
+
+
+def minhash_signature_py(hashes: list[int], k: int = 64, seed: int = 1337) -> list[int]:
+    """``minhash_signature_udf`` twin: same seeded universal-hash
+    coefficients (shared ``_coeffs``), same int64 numpy arithmetic, same
+    MERSENNE_P−1 empty sentinel."""
+    from datamatcher_spark.functions.minhash import _coeffs
+
+    a, b = _coeffs(k, seed)
+    if not hashes:
+        return [MERSENNE_P - 1] * k
+    hv = np.asarray(hashes, dtype=np.int64)[None, :]
+    av = np.asarray(a, dtype=np.int64)[:, None]
+    bv = np.asarray(b, dtype=np.int64)[:, None]
+    return ((av * hv + bv) % MERSENNE_P).min(axis=1).tolist()
+
+
+def lsh_band_keys_py(sig: list[int], bands: int = 16, rows: int = 4) -> list[str]:
+    """``lsh_band_keys_expr`` twin: band slice → comma-joined Long.toString
+    values → chained xxhash64(band_str, band_index) → 'lsh:<j>:<hash>'."""
+    return [
+        f"lsh:{j}:" + str(
+            xxh64_chain(",".join(str(v) for v in sig[j * rows:(j + 1) * rows]), j)
+        )
+        for j in range(bands)
+    ]
+
+
+def expected_minhash_pairs(
+    ids: list[int],
+    texts: list[str | None],
+    *,
+    shingle_words: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    jaccard_threshold: float = 0.6,
+    seed: int = 1337,
+    max_band_size: int = 500,
+) -> list[tuple[int, int, float]]:
+    """Full pure-Python recompute of ``operators.dedup
+    .minhash_near_duplicates`` — same seeded signatures, same band keys,
+    the IDENTICAL band-size truncation, then exact distinct-token-set
+    Jaccard on the candidates. The operator's output is truncation- and
+    banding-defined, so the oracle replays the exact banding rather than
+    an unblocked truth (contrast: the simhash/ngram oracles, whose
+    operators guarantee exact recall)."""
+    shingle_cache: dict = {}
+    buckets: dict[str, list[int]] = {}
+    tok_sets: dict[int, set[str]] = {}
+    for did, text in zip(ids, texts):
+        toks = tokens_py(text)
+        hs = shingle_hashes_py(word_shingles_py(toks, shingle_words), shingle_cache)
+        sig = minhash_signature_py(hs, k, seed)
+        tok_sets[did] = set(toks)
+        for bk in lsh_band_keys_py(sig, bands, rows):
+            buckets.setdefault(bk, []).append(did)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) > max_band_size:
+            continue  # band cap — the left-anti truncation's twin
+        ms = sorted(set(members))
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+    out: list[tuple[int, int, float]] = []
+    for id_a, id_b in sorted(cand):
+        sa, sb = tok_sets[id_a], tok_sets[id_b]
+        union = len(sa | sb)
+        j = 1.0 if union == 0 else len(sa & sb) / union
+        if j >= jaccard_threshold:
+            out.append((id_a, id_b, round_half_up(j, 6)))
+    return out
 
 
 _POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(

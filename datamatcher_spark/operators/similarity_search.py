@@ -58,6 +58,35 @@ def cosine_topk_per_label(df: DataFrame, vec_col: str, query: Sequence[float],
     )
 
 
+def _lloyd_centroids(sample: np.ndarray, nlist: int, seed: int,
+                     iters: int) -> np.ndarray:
+    """Seeded init + Lloyd iterations with cosine assignment — the
+    driver-side numpy kernel shared by ``IVFIndex.fit`` and the
+    ``simsearch_ivf`` VALUES oracle (same input → bit-identical
+    centroids, the multimodal shared-generator pattern)."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)
+    cents = sample[idx]
+    for _ in range(iters):
+        # normalized cosine assignment
+        sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-9)
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-9)
+        assign = (sn @ cn.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _probe_cells(centroids: np.ndarray, query: np.ndarray, nprobe: int) -> list[int]:
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-9
+    )
+    qn = query / max(np.linalg.norm(query), 1e-9)
+    return [int(c) for c in (cn @ qn).argsort()[::-1][:nprobe]]
+
+
 class IVFIndex:
     """Minimal IVF: deterministic centroids via seeded sampling + a few
     Lloyd iterations on the driver (centroid count is tiny), assignments
@@ -85,19 +114,7 @@ class IVFIndex:
             sample = np.array([r.v for r in df.select(
                 F.col(vec_col).cast("array<double>").alias("v")
             ).limit(min(n_total, sample_cap)).collect()])
-        rng = np.random.RandomState(seed)
-        idx = rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)
-        cents = sample[idx]
-        for _ in range(iters):
-            # normalized cosine assignment
-            sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-9)
-            cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-9)
-            assign = (sn @ cn.T).argmax(axis=1)
-            for c in range(len(cents)):
-                members = sample[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
-        return cls(cents)
+        return cls(_lloyd_centroids(sample, nlist, seed, iters))
 
     def _cell_expr(self, vec_col: str):
         sims = [
@@ -114,16 +131,18 @@ class IVFIndex:
         """Add the ``ivf_cell`` column (done once, at index-build time)."""
         return df.withColumn("ivf_cell", self._cell_expr(vec_col))
 
+    def assign_cell_py(self, vec: Sequence[float]) -> int:
+        """Driver-side twin of ``_cell_expr`` for one vector: JVM-fold
+        cosine to every centroid, first-max argmax (array_position)."""
+        sims = [_fold_cosine(vec, c) for c in self.centroids]
+        return sims.index(max(sims))
+
     def search(self, indexed: DataFrame, vec_col: str, query: Sequence[float],
                k: int = 10, nprobe: int = 4, id_col: str = "vec_id") -> DataFrame:
         """Probe the nprobe nearest cells only — partition-pruned scan when
         the table is written partitioned/bucketed by ivf_cell."""
         q = np.asarray(query, dtype=float)
-        cn = self.centroids / np.maximum(
-            np.linalg.norm(self.centroids, axis=1, keepdims=True), 1e-9
-        )
-        qn = q / max(np.linalg.norm(q), 1e-9)
-        probe_cells = [int(c) for c in (cn @ qn).argsort()[::-1][:nprobe]]
+        probe_cells = _probe_cells(self.centroids, q, nprobe)
         return (
             indexed.filter(F.col("ivf_cell").isin(probe_cells))
             .select(
@@ -136,3 +155,64 @@ class IVFIndex:
             .orderBy(F.desc("cosine"), F.asc(id_col))
             .limit(k)
         )
+
+
+def _fold_cosine(a: Sequence[float], b: Sequence[float]) -> float:
+    """Twin of ``cosine_sim_expr``'s JVM evaluation: strict left-to-right
+    double folds (Spark's ``aggregate`` over ``zip_with`` products), NOT
+    numpy pairwise summation — the last-ulp difference matters because the
+    cell assignment takes an argmax over these values and the output is
+    compared hash-exact at 6 decimals."""
+    import math
+
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    na, nb = math.sqrt(na), math.sqrt(nb)
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return dot / (na * nb)
+
+
+def expected_ivf_topk_rows(
+    sf_dir: str,
+    *,
+    nlist: int = 8,
+    seed: int = 5,
+    iters: int = 3,
+    k: int = 10,
+    nprobe: int = 4,
+    query_vec_id: int = 0,
+) -> list[tuple[int, float]]:
+    """Pure-Python recompute of the ``simsearch_ivf`` catalog entry over
+    the same parquet: centroids via the SHARED seeded numpy kernel
+    (``_lloyd_centroids`` — identical input order: one parquet file, so
+    pyarrow row order == Spark scan/collect order), then an independent
+    Python reimplementation of the distributed parts — per-vector cell
+    assignment, probe-set filter, query cosine (all with JVM fold
+    semantics, ``_fold_cosine``), HALF_UP rounding, (cosine DESC, vec_id
+    ASC) top-k."""
+    import pyarrow.parquet as pq
+
+    from datamatcher_spark.functions.pyhash import round_half_up
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [[float(x) for x in v] for v in t.column("embedding").to_pylist()]
+    cents = _lloyd_centroids(np.array(vecs, dtype=float), nlist, seed, iters)
+    q = vecs[ids.index(query_vec_id)]
+    probe = set(_probe_cells(cents, np.asarray(q, dtype=float), nprobe))
+    cent_lists = [[float(x) for x in c] for c in cents]
+    rows = []
+    for vid, v in zip(ids, vecs):
+        sims = [_fold_cosine(v, c) for c in cent_lists]
+        if sims.index(max(sims)) in probe:
+            rows.append((vid, round_half_up(_fold_cosine(v, q), 6)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]

@@ -51,11 +51,14 @@ def uid_expr(url: Column, bits: int = 64) -> Column:
     greatest/least in CC) is width-agnostic."""
     if bits == 64:
         return F.xxhash64(url)
-    # second lane: same function, domain-separated by a constant second
-    # input column (Spark's xxhash64 has a fixed seed; hashing (url, 1)
-    # gives an independent 64-bit value)
+    # second lane: domain-separate by a constant FIRST input. Spark's
+    # multi-column xxhash64 chains the running hash as the seed, so a
+    # trailing constant — xxhash64(url, 1) — is a pure function of
+    # xxhash64(url): any h1 collision implies an h2 collision, degrading
+    # the struct to 64-bit resistance. With the constant first, the url
+    # bytes are hashed under seed xxhash64(1) ≠ 42 — an independent lane.
     return F.struct(
-        F.xxhash64(url).alias("h1"), F.xxhash64(url, F.lit(1)).alias("h2")
+        F.xxhash64(url).alias("h1"), F.xxhash64(F.lit(1), url).alias("h2")
     )
 
 

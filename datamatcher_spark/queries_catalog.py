@@ -1251,7 +1251,55 @@ def q_dedup_exact_fp(spark, sf_dir):
     return a.select(*cols).unionByName(b.select(*cols))
 
 
-@register("dedup_minhash_lsh", None)  # seeded UDF — rows-only + pytest oracle
+def _oracle_sf_dir() -> str:
+    """Corpus directory for LAZY VALUES oracles (the Python-recompute
+    family: simhash, minhash, ivf). The driver compares at sf=0.01 per the
+    entry contract, so that is the default; any other comparison scale
+    must export $SPARK_GRAFT_ORACLE_SF_DIR before calling ``oracle_sql()``
+    (scripts/check_oracles.py does)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _minhash_oracle_sql() -> str:
+    """Lazy VALUES oracle for ``dedup_minhash_lsh``: the signatures are
+    deterministic (seeded k=64 universal-hash permutations over xxhash64
+    shingles), so the ENTIRE operator — band keys, the band-size
+    truncation, candidate pairs, exact token-set Jaccard — is recomputed
+    in pure Python over the same corpus (functions/pyhash.py, every hash
+    layer pinned bit-equal to Spark by tests/test_pyhash_changelog.py).
+    Unlike the simhash/ngram oracles (exact-recall operators, unblocked
+    truth), this output is banding/truncation-defined, so the oracle
+    replays the identical banding. Reference lineage: the scaled twin of
+    J4's fuzzy fallback (/root/reference/utils/fuzzy_matcher.py:50-100)."""
+    import pyarrow.parquet as pq
+
+    from datamatcher_spark.functions.pyhash import expected_minhash_pairs
+
+    t = pq.read_table(
+        f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = expected_minhash_pairs(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist(),
+        jaccard_threshold=0.6,
+    )
+    if not pairs:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,"
+            " CAST(NULL AS DOUBLE) AS jaccard WHERE FALSE"
+        )
+    vals = ",\n      ".join(f"({a}, {b}, {j!r})" for a, b, j in pairs)
+    return f"""
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(jaccard AS DOUBLE) AS jaccard
+    FROM (VALUES
+      {vals}
+    ) AS t(id_a, id_b, jaccard)
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle_sql)
 def q_dedup_minhash(spark, sf_dir):
     return minhash_near_duplicates(
         _t(spark, sf_dir, "documents"), "doc_id", "text", jaccard_threshold=0.6
@@ -1313,17 +1361,15 @@ def _simhash_oracle_sql() -> str:
     Sound because the operator guarantees EXACT recall AND precision at
     max_hamming (Manku chunk-combination blocking, no block cap), so the
     blocked distributed plan must reproduce the unblocked quadratic —
-    the same contract as the ngram and embedding-LSH oracles. Reads the
-    sf0.01 corpus (the driver's correctness SF; override with
-    $SPARK_GRAFT_ORACLE_SF_DIR)."""
-    import os
-
+    the same contract as the ngram and embedding-LSH oracles. Corpus dir
+    resolution: ``_oracle_sf_dir()``."""
     import pyarrow.parquet as pq
 
     from datamatcher_spark.functions.pyhash import expected_simhash_pairs
 
-    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = pq.read_table(
+        f"{_oracle_sf_dir()}/documents.parquet", columns=["doc_id", "text"]
+    )
     pairs = expected_simhash_pairs(
         t.column("doc_id").to_pylist(), t.column("text").to_pylist(), max_hamming=3
     )
@@ -1568,7 +1614,31 @@ def q_simsearch_label(spark, sf_dir):
     return cosine_topk_per_label(emb, "embedding", qv, "label", k=3)
 
 
-@register("simsearch_ivf", None)  # driver-fit centroids — rows-only
+def _ivf_oracle_sql() -> str:
+    """Lazy VALUES oracle for ``simsearch_ivf``: the index is fully
+    deterministic (seeded sample — a no-op below the 4096 cap — seeded
+    init, fixed Lloyd iterations), so centroids, per-vector cell
+    assignment, probe set and top-k are recomputed driver-side
+    (operators/similarity_search.py::expected_ivf_topk_rows — shared
+    numpy fit kernel, independent Python reimplementation of the
+    distributed assign/probe/top-k with JVM fold semantics)."""
+    from datamatcher_spark.operators.similarity_search import (
+        expected_ivf_topk_rows,
+    )
+
+    rows = expected_ivf_topk_rows(
+        _oracle_sf_dir(), nlist=8, seed=5, k=10, nprobe=4, query_vec_id=0
+    )
+    vals = ",\n      ".join(f"({vid}, {cos!r})" for vid, cos in rows)
+    return f"""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cosine AS DOUBLE) AS cosine
+    FROM (VALUES
+      {vals}
+    ) AS t(vec_id, cosine)
+    """
+
+
+@register("simsearch_ivf", _ivf_oracle_sql)
 def q_simsearch_ivf(spark, sf_dir):
     from datamatcher_spark.operators.similarity_search import IVFIndex
 
