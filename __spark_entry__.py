@@ -5,9 +5,13 @@ documents table. ``queries()`` / ``oracle_sql()`` — one entry per
 implemented operator from SURVEY.md §2 plus the training-data operator
 families (dedup / similarity search / text analysis); each Spark
 DataFrame query is paired with ANSI SQL DuckDB runs on the same parquet
-for row-count + schema + value-hash comparison. Non-SQL-expressible ops
-(seeded MinHash/SimHash, Arrow UDF scoring) ship without an oracle →
-rows-only check + pytest oracles in tests/.
+for row-count + schema + value-hash comparison. Deterministic seeded
+operators (MinHash-LSH, SimHash, IVF ANN) are paired via LAZY VALUES
+oracles — a pure-Python recompute over the same parquet, resolved inside
+``oracle_sql()``. Those recomputes read the driver's correctness scale
+factor, /root/testdata/sf0.01, by default; a driver comparing at any
+other SF must export ``SPARK_GRAFT_ORACLE_SF_DIR=<sf_dir>`` before
+calling ``oracle_sql()`` (scripts/check_oracles.py does).
 
 Implementation lives in datamatcher_spark.queries_catalog; this module
 stays a thin adapter so the driver import is cheap.

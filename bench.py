@@ -84,6 +84,38 @@ def main() -> None:
         else 0.0
     )
     shutil.rmtree(work, ignore_errors=True)
+    pages.unpersist()
+
+    # STANDING large-corpus stress (judge r4 item 5): the sf0.1 suite's
+    # 20k-doc pipeline can't see regressions in the O(n²)-sensitive paths
+    # (band skew, block caps, feature-join cutover — the 480k broadcast
+    # OOM was invisible at 20k). 24× the suite corpus, per-stage walls +
+    # score throughput. Override with $SPARK_GRAFT_LARGE_DOCS (0 → skip).
+    er_large = None
+    n_large = int(os.environ.get("SPARK_GRAFT_LARGE_DOCS", "480000"))
+    if n_large:
+        pages_l = generate_pages(spark, n_docs=n_large, seed=42).cache()
+        pages_l.count()
+        work = tempfile.mkdtemp(prefix="bench_pipeline_large_")
+        t0 = time.monotonic()
+        res_l = run_pipeline(spark, pages_l, work, "bench_large", PipelineConfig())
+        wall_l = round(time.monotonic() - t0, 3)
+        shutil.rmtree(work, ignore_errors=True)
+        pages_l.unpersist()
+        er_large = {
+            "docs": n_large,
+            "wall_sec": wall_l,
+            "block_wall_ms": res_l.counts.get("block_wall_ms"),
+            "score_wall_ms": res_l.counts.get("score_wall_ms"),
+            "cluster_wall_ms": res_l.counts.get("cluster_wall_ms"),
+            "pairs_scored": res_l.counts.get("pairs_scored"),
+            "pairs_scored_per_sec": round(
+                res_l.counts["pairs_scored"]
+                / (res_l.counts["score_wall_ms"] / 1000.0),
+                1,
+            ) if res_l.counts.get("score_wall_ms") else 0.0,
+            "clusters": res_l.counts.get("clusters"),
+        }
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -97,6 +129,7 @@ def main() -> None:
         "er_pairs_scored": res.counts.get("pairs_scored"),
         "er_pairs_scored_per_sec": round(pairs_per_sec, 1),
         "er_clusters": res.counts.get("clusters"),
+        "er_large": er_large,
     }
     # round-over-round regression visibility: per-query delta vs the most
     # recent BENCH_r{N}.json found next to this script (same sf only)

@@ -211,6 +211,7 @@ def change_log(
     *,
     change_prefix: str = "__change_",
     old_prefix: str = "__old_",
+    row_index_col: str | None = None,
 ) -> DataFrame:
     """The reference's per-cell change-log artifact as a DataFrame
     (core/reporter.py:118-136 ``export_change_log``): one row per
@@ -228,11 +229,25 @@ def change_log(
 
     ``mappings_info`` dicts need ``target_column`` (or ``output_name``),
     ``write_mode`` (WriteMode or its value) and optionally
-    ``source_name``.
+    ``source_name``. Mappings stacked on the SAME resolved target are
+    deduplicated keeping the LAST one — matching ``apply_mappings``' fold
+    order, where only the final transition survives in the
+    ``__old_``/``__change_`` columns; emitting a row per stacked mapping
+    would duplicate identical before/after values under each mapping's
+    labels.
+
+    ``row_index_col``: desktop-parity hook for the reference's ``wiersz``
+    file-row index (core/reporter.py:123) — name a column carrying a
+    stable row number (e.g. loaded with the file, or a monotonic id
+    stamped at ingest) and it is emitted as ``wiersz`` after ``klucz``.
+    Default None: no such column exists in a distributed frame, ``klucz``
+    identifies the row (documented drift).
     """
-    structs = []
+    by_target: dict[str, dict] = {}
     for m in mappings_info:
-        tgt = m.get("output_name") or m["target_column"]
+        by_target[m.get("output_name") or m["target_column"]] = m
+    structs = []
+    for tgt, m in by_target.items():
         chg, old = f"{change_prefix}{tgt}", f"{old_prefix}{tgt}"
         if tgt not in merged.columns or chg not in merged.columns:
             continue
@@ -258,21 +273,30 @@ def change_log(
                 F.col(chg).alias("ct"),
             )
         )
+    wiersz = (
+        [F.col(row_index_col).cast("long").alias("wiersz")]
+        if row_index_col
+        else []
+    )
     if not structs:
         return merged.sparkSession.createDataFrame(
             [],
-            "kolumna string, klucz string, wartosc_przed string, "
+            "kolumna string, klucz string, "
+            + ("wiersz long, " if row_index_col else "")
+            + "wartosc_przed string, "
             "wartosc_po string, zrodlo string, tryb string, typ_zmiany string",
         )
     return (
         merged.select(
             F.col(key_col).cast("string").alias("klucz"),
+            *wiersz,
             F.explode(F.array(*structs)).alias("c"),
         )
         .filter(F.col("c.ct").isin(*_CHANGED))
         .select(
             F.col("c.kolumna").alias("kolumna"),
             "klucz",
+            *(["wiersz"] if row_index_col else []),
             F.col("c.wartosc_przed").alias("wartosc_przed"),
             F.col("c.wartosc_po").alias("wartosc_po"),
             F.col("c.zrodlo").alias("zrodlo"),

@@ -6,8 +6,10 @@ Spark has no DataFrame CC (GraphFrames is external), so this is the
 "Connected Components in MapReduce and Beyond", SoCC'14), which converges
 in O(log n) rounds on pathological graphs — the planted clusters here
 converge in 2-3. Each round is two groupBy-min joins; iteration lineage
-is cut with ``localCheckpoint`` so the plan doesn't grow unboundedly
-(swap for ``checkpoint`` + a reliable dir on a real cluster).
+is cut per round so the plan doesn't grow unboundedly — with
+``localCheckpoint`` by default, or RELIABLE ``checkpoint()`` when a
+``checkpoint_dir`` is given (``PipelineConfig.checkpoint_dir`` threads it
+through ``plans.run``), which survives executor loss on a real cluster.
 
 Node ids are the url strings themselves — min() is lexicographic, so the
 cluster id is the lexicographically-smallest member url (deterministic
@@ -84,11 +86,24 @@ def _edge_digest(edges: DataFrame):
 def connected_components(
     edges: DataFrame, max_iterations: int = 20,
     shuffle_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, int]:
     """edges(src, dst) → (assignments(node, component), n_iterations).
 
     ``component`` is the minimum node id of the component. Only nodes that
     appear in an edge are assigned; the caller unions singletons.
+
+    ``checkpoint_dir`` selects the lineage-cut mechanism: unset (default,
+    single-machine / tests) each round is ``localCheckpoint()`` — executor-
+    local blocks, lost if an executor dies. Set (a DFS path on a real
+    cluster) the loop uses RELIABLE ``checkpoint()``: every round's edge
+    set lands in fault-tolerant storage, so a mid-loop executor loss
+    recomputes nothing. The call sets ``sparkContext.setCheckpointDir``
+    (context-global, like the setting itself). Stage OUTPUTS are already
+    reliable either way — ``plans.run`` materializes every stage boundary
+    to parquet with commit markers; this flag covers the intra-stage
+    iteration state. Identical results both modes
+    (tests/test_clustering.py::test_reliable_checkpoint_identical).
 
     The iteration's shuffle parallelism is clamped to the edge volume
     (~100k edges/partition) rather than inheriting the session setting:
@@ -107,10 +122,16 @@ def connected_components(
     restore a stale baseline).
     """
     spark = edges.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(str(checkpoint_dir))
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir else df.localCheckpoint()
+
     # first canon runs at session width (the clamp needs the edge count,
     # and counting BEFORE canon would execute the upstream edge plan
     # twice); everything inside the loop is clamped
-    e = _canon(edges).localCheckpoint()
+    e = _cut(_canon(edges))
     if e.isEmpty():
         return e.select(F.col("src").alias("node"), F.col("dst").alias("component")), 0
 
@@ -124,7 +145,7 @@ def connected_components(
     iters = 0
     for _ in range(max_iterations):
         iters += 1
-        e = _small_star(_large_star(e, n), n).localCheckpoint()
+        e = _cut(_small_star(_large_star(e, n), n))
         if iters == 1:
             continue  # round 1 always changes something; skip the digest job
         digest = _edge_digest(e)

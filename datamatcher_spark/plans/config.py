@@ -41,6 +41,13 @@ class PipelineConfig:
 
     # stage 3 — clustering
     max_cc_iterations: int = 20
+    # Reliable-checkpoint directory for the CC loop's per-round lineage
+    # cut. Empty (default) → localCheckpoint (executor-local blocks —
+    # fine single-machine; lost on executor death). Set to a DFS path on
+    # a real cluster → df.checkpoint() per round: iteration state
+    # survives executor loss. Stage boundaries are parquet-materialized
+    # either way (plans/run.py commit markers).
+    checkpoint_dir: str = ""
 
     # Feature-join strategy cutover: at or below this many feature rows
     # the score stage BROADCASTS the slim feature table onto the pair

@@ -95,8 +95,30 @@ def apply_batch_filter(df, bf: BatchFilterSpec, key_col: str):
     return df
 
 
+def profile_fingerprint(profile: "Profile") -> str:
+    """Content hash of everything that determines a run's outputs —
+    source paths, key columns + options, batch filter, ordered mappings.
+    Stamped into every mid-job commit marker so a relaunch with the same
+    work_dir but an EDITED profile restarts from scratch instead of
+    silently resuming from parquet that no longer corresponds to the
+    current spec (``updated_at`` is deliberately excluded)."""
+    import hashlib
+
+    doc = {
+        "base": asdict(profile.base),
+        "sources": [asdict(s) for s in profile.sources],
+        "mappings": [_mapping_to_dict(m) for m in profile.mappings],
+        "batch_filter": {**asdict(profile.batch_filter),
+                         "keys": list(profile.batch_filter.keys)},
+    }
+    return hashlib.sha256(
+        json.dumps(doc, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
 def execute_profile(
-    spark, profile: "Profile", *, load=None, work_dir: str | Path | None = None
+    spark, profile: "Profile", *, load=None, work_dir: str | Path | None = None,
+    export_change_log: bool = False, change_log_path: str | Path | None = None,
 ) -> tuple:
     """Run the enrichment job a Profile describes, end-to-end: load base,
     batch-filter, then per source (in list order) enrich-join + fold that
@@ -113,17 +135,41 @@ def execute_profile(
     ``plans.run``'s commit markers and of the reference's persisted
     session position (utils/session.py:17-98): each completed source fold
     writes its output parquet plus a commit marker carrying that source's
-    report stats. A relaunch with the same work_dir restarts from the
-    LAST COMMITTED source (reading its parquet, replaying its recorded
-    stats) instead of refolding every source from scratch. Without
-    ``work_dir`` the job is a single lazy plan, as before.
+    report stats AND the profile fingerprint. A relaunch with the same
+    work_dir restarts from the LAST COMMITTED source (reading its
+    parquet, replaying its recorded stats) instead of refolding every
+    source from scratch; markers whose fingerprint doesn't match the
+    CURRENT profile (sources/keys/mappings/filter edited since) are
+    ignored — the job restarts cleanly rather than resuming stale
+    parquet. Without ``work_dir`` the job is a single lazy plan.
+
+    ``export_change_log=True`` additionally produces the reference's
+    per-cell change-log artifact for the WHOLE run (the report dialog's
+    export, gui/main_window.py:631 → core/reporter.py:118-136): each
+    source is folded with ``retain_old=True`` and its NEW/CHANGED cells
+    are captured BEFORE the next source overwrites the lineage columns,
+    labeled with that source's filename in ``zrodlo``. The combined CSV
+    is written to ``change_log_path`` (default ``work_dir/change_log.csv``
+    when a work_dir is set). With a work_dir the per-source logs are
+    parquet-committed alongside the markers, so the artifact stays
+    COMPLETE across resume; without one the capture is lazy (each
+    source's log re-derives its upstream folds at write time — fine at
+    report scale, use a work_dir for big jobs).
     """
     import json as _json
 
     from datamatcher_spark.operators.enrich import enrich_join, match_stats
     from datamatcher_spark.operators.merge import apply_mappings
+    from datamatcher_spark.operators.report_render import change_log
 
     from pyspark.sql import functions as F
+
+    if export_change_log and change_log_path is None:
+        if work_dir is None:
+            raise ValueError(
+                "export_change_log=True needs change_log_path or work_dir"
+            )
+        change_log_path = Path(work_dir) / "change_log.csv"
 
     if load is None:
         from datamatcher_spark.sources.ingest import load_file
@@ -135,30 +181,46 @@ def execute_profile(
             return load_file(spark, p)
 
     wd = Path(work_dir) if work_dir else None
+    fp = profile_fingerprint(profile)
     if wd:
         (wd / "commits").mkdir(parents=True, exist_ok=True)
 
     def _marker(i: int) -> Path:
         return wd / "commits" / f"source_{i}.json"
 
+    def _marker_doc(i: int) -> dict | None:
+        """Committed marker for source i, or None when absent/stale
+        (fingerprint mismatch ⇒ the profile changed since the commit)."""
+        if not _marker(i).exists():
+            return None
+        doc = _json.loads(_marker(i).read_text())
+        return doc if doc.get("profile_fp") == fp else None
+
     def _out(i: int) -> str:
         return str(wd / f"source_{i}.parquet")
 
+    def _clog_out(i: int) -> str:
+        return str(wd / f"change_log_{i}.parquet")
+
     sources_info: list[dict] = []
     mappings_info: list[dict] = []
+    change_logs: list = []  # one lazy DataFrame per folded source
     start = 0
     df = None
     if wd:
         for i in reversed(range(len(profile.sources))):
-            if _marker(i).exists():
+            doc = _marker_doc(i)
+            if doc is not None:
                 start = i + 1
                 df = spark.read.parquet(_out(i))
                 for j in range(i + 1):  # replay committed stats in order
-                    if _marker(j).exists():
-                        doc = _json.loads(_marker(j).read_text())
-                        if doc.get("source_info"):
-                            sources_info.append(doc["source_info"])
-                        mappings_info += doc.get("mappings_info", [])
+                    doc_j = _marker_doc(j)
+                    if doc_j is not None:
+                        if doc_j.get("source_info"):
+                            sources_info.append(doc_j["source_info"])
+                        mappings_info += doc_j.get("mappings_info", [])
+                        if export_change_log and doc_j.get("change_log"):
+                            change_logs.append(spark.read.parquet(_clog_out(j)))
                 break
     if df is None:
         base_key = profile.base.key_column
@@ -179,7 +241,9 @@ def execute_profile(
             if wd:  # commit a pass-through marker so resume indexing holds
                 df.write.mode("overwrite").parquet(_out(i))
                 df = spark.read.parquet(_out(i))
-                _marker(i).write_text(_json.dumps({"source": spec.name}))
+                _marker(i).write_text(
+                    _json.dumps({"source": spec.name, "profile_fp": fp})
+                )
             continue
         src = load(spec.path)
         opts = spec.key_options or profile.base.key_options
@@ -192,34 +256,65 @@ def execute_profile(
             df, src, base_key, spec.key_column,
             bound[0].source_column or src.columns[0], key_options=opts,
         )
-        folded = apply_mappings(joined, bound, matched=F.col("__matched"))
-        # drop exactly the prefixed columns the enrich join ADDED — a base
-        # table column legitimately named src_* must survive the fold
-        added = {f"src_{c}" for c in src.columns}
-        drop = [c for c in folded.columns if c in added]
-        df = folded.drop("__matched", "__conflicts", *drop)
+        folded = apply_mappings(
+            joined, bound, matched=F.col("__matched"),
+            retain_old=export_change_log,
+        )
         minfo = [
             {
                 "source_column": m.source_column or m.source_template,
                 "target_column": m.target_column,
                 "write_mode": m.write_mode.value,
+                "source_name": source_info["filename"],
             }
             for m in sorted(bound, key=lambda m: m.priority)
             if m.enabled
         ]
+        clog = None
+        if export_change_log:
+            # capture THIS source's transitions before the next fold
+            # overwrites __change_/__old_; zrodlo = this source's file
+            clog = change_log(folded, base_key, minfo)
+            if not wd:
+                change_logs.append(clog)
+        # drop exactly the prefixed columns the enrich join ADDED — a base
+        # table column legitimately named src_* must survive the fold
+        added = {f"src_{c}" for c in src.columns}
+        drop = [c for c in folded.columns if c in added]
+        old_cols = [
+            c for c in folded.columns
+            if export_change_log and c.startswith("__old_")
+        ]
+        df = folded.drop("__matched", "__conflicts", *drop, *old_cols)
         mappings_info += minfo
         if wd:
             # materialize + commit: marker written only AFTER the parquet
-            # lands, so a crash mid-write resumes from the prior source
+            # (and the change-log part) lands, so a crash mid-write
+            # resumes from the prior source
             df.write.mode("overwrite").parquet(_out(i))
             df = spark.read.parquet(_out(i))
+            if clog is not None:
+                clog.write.mode("overwrite").parquet(_clog_out(i))
+                change_logs.append(spark.read.parquet(_clog_out(i)))
             _marker(i).write_text(
                 _json.dumps(
-                    {"source": spec.name, "source_info": source_info,
-                     "mappings_info": minfo},
+                    {"source": spec.name, "profile_fp": fp,
+                     "source_info": source_info, "mappings_info": minfo,
+                     "change_log": clog is not None},
                     default=str,
                 )
             )
+    if export_change_log:
+        from functools import reduce
+
+        from datamatcher_spark.sources.ingest import write_csv_report
+
+        combined = (
+            reduce(lambda a, b: a.unionByName(b), change_logs)
+            if change_logs
+            else change_log(df, base_key, [])
+        )
+        write_csv_report(combined, change_log_path)
     return df, sources_info, mappings_info
 
 

@@ -160,6 +160,7 @@ def run_pipeline(
         cc, cc_iters = connected_components(
             edges.select(F.col("uid_a").alias("src"), F.col("uid_b").alias("dst")),
             cfg.max_cc_iterations,
+            checkpoint_dir=cfg.checkpoint_dir or None,
         )
         uid_url = spark.read.parquet(feats_path).select("uid", "url")
         assigned = cc.select(F.col("node").alias("uid"),

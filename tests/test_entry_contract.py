@@ -44,11 +44,12 @@ def test_catalog_structure():
     # operator gets a correctness row
     assert len(qs) == 50
     assert set(sqls) <= set(qs)
-    # the genuinely approximation-defined ops are the only ones without
-    # oracles: minhash output is truncation-defined (the corpus has 71k
-    # pairs over threshold; the entry's band caps bound it), IVF nprobe
-    # genuinely misses true top-k (verified ≠ brute force)
-    assert set(qs) - set(sqls) == {"dedup_minhash_lsh", "simsearch_ivf"}
+    # since r5 EVERY entry is oracle-paired: the formerly rows-only
+    # minhash-LSH and IVF entries are deterministic (seeded), so their
+    # truncation-/probe-defined outputs are recomputed in pure Python at
+    # oracle_sql() time (lazy VALUES oracles replaying the same banding /
+    # probe set)
+    assert set(qs) == set(sqls)
 
 
 def test_no_array_or_map_output_columns(spark):
