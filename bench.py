@@ -51,6 +51,13 @@ def main() -> None:
     from datamatcher_spark.queries_catalog import CATALOG
     from datamatcher_spark.session import get_spark
 
+    # The cluster being modeled brings memory WITH its cores (each
+    # executor has its own heap), so size the single local JVM to the
+    # core count — the same model scripts/bench_scaling.py uses. The
+    # default 8g at 32 threads is 256 MB/task and the standing 480k
+    # section GC-thrashes (measured 43.6k pairs/s vs 85.9k at 8 cores
+    # with 2 GB/core).
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{cpus * 2}g")
     spark = get_spark("bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
