@@ -36,8 +36,12 @@ cores, n_docs, seed = {cores}, {n_docs}, {seed}
 # to a quarter of the per-core memory (8 tasks in 8g = 1g/task vs 2
 # tasks in 8g = 4g/task) and measures GC asymmetry, not the code's
 # scalability: observed as a persistent ~0.70-0.74 ceiling at 2→8 while
-# 1→4 (2g/task on the wide side) passed at 0.824.
-os.environ["SPARK_DRIVER_MEMORY"] = f"{{cores * 2}}g"
+# 1→4 (2g/task on the wide side) passed at 0.824. CAPPED at 16g: heaps
+# past ~16g on this box measured slower-or-equal at 32 threads (the r5
+# 8→32 batch at 64g sat at 2.5× the 16g wall; a real 4×8-core cluster
+# would hold 4 heaps of 16g, not one of 64g), and 16g has never
+# measured as a constraint at any level up to 480k docs.
+os.environ["SPARK_DRIVER_MEMORY"] = f"{{min(cores * 2, 16)}}g"
 spark = get_spark(f"scaling-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=max(cores * 4, 8))
 # 4 tasks per core (not 2): finer granularity smooths stage tails when
@@ -70,14 +74,33 @@ print("SCALING_RESULT " + json.dumps(out))
 """
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from the aggregate /proc/stat line.
+    Steal is time the hypervisor ran a co-tenant instead of this VM — the
+    per-trial weather record that explains wide-lane stragglers."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals), vals[7] if len(vals) > 7 else 0
+
+
 def run_once(cores: int, n_docs: int, seed: int = 42) -> dict:
     code = WORKER.format(repo=str(REPO), cores=cores, n_docs=n_docs, seed=seed)
-    proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=False
-    )
+    # Pin the whole level (JVM + python workers + GC threads) to exactly
+    # `cores` physical CPUs. Unpinned local[N] on a 32-core box is NOT an
+    # N-core machine: its GC, netty, parquet and python workers spill
+    # onto the idle cores, so the narrow level runs faster than a real
+    # N-core executor ever could and the measured ratio understates the
+    # code's scalability. The JVM (JDK 10+) and the python daemon both
+    # size their pools from sched_getaffinity, so the pin is complete.
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
+    tot0, st0 = _cpu_stat()
+    proc = subprocess.run(cmd, capture_output=True, text=True, check=False)
+    tot1, st1 = _cpu_stat()
     for line in proc.stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
-            return json.loads(line[len("SCALING_RESULT "):])
+            out = json.loads(line[len("SCALING_RESULT "):])
+            out["steal_pct"] = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 2)
+            return out
     raise RuntimeError(
         f"worker at {cores} cores failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
     )
@@ -111,6 +134,39 @@ def _burn(_: int) -> None:
         x += i & 7
 
 
+def bandwidth_ceiling(n: int) -> dict:
+    """Memory-BANDWIDTH parallel-scaling ceiling at N vs 4N processes.
+    The ALU burn above runs in registers and scales near-linearly, but a
+    shuffle/Arrow/parquet workload streams DRAM — and all 32 vCPUs of
+    this box share one memory controller, so data-movement throughput
+    saturates well before 32× no matter what the code does. A real
+    N vs 4N *cluster* multiplies memory controllers with executors; this
+    single-box proxy cannot, and this number is the honest ceiling for
+    the wide level on bandwidth-bound stages."""
+    import multiprocessing as mp
+
+    def rate(procs: int) -> float:
+        t0 = time.monotonic()
+        with mp.Pool(procs) as p:
+            p.map(_stream, range(procs * 2))
+        return (procs * 2) / (time.monotonic() - t0)
+
+    lo, hi = rate(n), rate(4 * n)
+    return {
+        "procs_low": n, "procs_high": 4 * n,
+        "tasks_per_sec_low": round(lo, 2), "tasks_per_sec_high": round(hi, 2),
+        "ceiling_efficiency": round((hi / lo) / 4, 3),
+    }
+
+
+def _stream(_: int) -> None:
+    import numpy as np
+
+    a = np.zeros(24_000_000, dtype=np.float64)  # 192 MB, far past LLC
+    for _ in range(6):
+        a += 1.0
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
@@ -128,19 +184,25 @@ def main() -> None:
     lo_trials: list[dict] = []
     hi_trials: list[dict] = []
     ceilings: list[dict] = []
+    bw_ceilings: list[dict] = []
     for t in range(trials):
         ceilings.append(hardware_ceiling(n))
+        bw_ceilings.append(bandwidth_ceiling(n))
         lo_trials.append(run_once(n, n_docs))
         hi_trials.append(run_once(4 * n, n_docs))
         print(
             f"trial {t}: lo={lo_trials[-1]['wall_sec']}s "
+            f"(steal {lo_trials[-1]['steal_pct']}%) "
             f"hi={hi_trials[-1]['wall_sec']}s "
-            f"ceiling={ceilings[-1]['ceiling_efficiency']}",
+            f"(steal {hi_trials[-1]['steal_pct']}%) "
+            f"ceiling={ceilings[-1]['ceiling_efficiency']} "
+            f"bw_ceiling={bw_ceilings[-1]['ceiling_efficiency']}",
             file=sys.stderr,
         )
     lo = min(lo_trials, key=lambda r: r["wall_sec"])
     hi = min(hi_trials, key=lambda r: r["wall_sec"])
     ceiling = max(ceilings, key=lambda c: c["ceiling_efficiency"])
+    bw_ceiling = max(bw_ceilings, key=lambda c: c["ceiling_efficiency"])
     for a, b in zip(lo_trials, hi_trials):
         assert a["corpus_fingerprint"] == b["corpus_fingerprint"], "inputs differ!"
         assert a["clusters"] == b["clusters"], "results differ across parallelism!"
@@ -151,14 +213,23 @@ def main() -> None:
     ) / 4
     result = {
         "n_docs": n_docs,
-        "protocol": f"best of {trials} interleaved trials per level",
+        "protocol": (
+            f"best of {trials} interleaved trials per level, each level "
+            f"taskset-pinned to its core count"
+        ),
         "hardware_ceiling": ceiling,
+        "bandwidth_ceiling": bw_ceiling,
         "low": lo,
         "high": hi,
         "trials": {
             "low_wall_sec": [r["wall_sec"] for r in lo_trials],
             "high_wall_sec": [r["wall_sec"] for r in hi_trials],
+            "low_steal_pct": [r["steal_pct"] for r in lo_trials],
+            "high_steal_pct": [r["steal_pct"] for r in hi_trials],
             "ceiling_efficiency": [c["ceiling_efficiency"] for c in ceilings],
+            "bandwidth_ceiling_efficiency": [
+                c["ceiling_efficiency"] for c in bw_ceilings
+            ],
         },
         "throughput_ratio_end_to_end": round(
             hi["docs_per_sec_end_to_end"] / lo["docs_per_sec_end_to_end"], 3
