@@ -56,8 +56,12 @@ def main() -> None:
     # core count — the same model scripts/bench_scaling.py uses. The
     # default 8g at 32 threads is 256 MB/task and the standing 480k
     # section GC-thrashes (measured 43.6k pairs/s vs 85.9k at 8 cores
-    # with 2 GB/core).
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{cpus * 2}g")
+    # with 2 GB/core). CAPPED at 16g like the scaling harness: an
+    # uncapped 64g heap at 32 threads made the short catalog queries
+    # 3-10x slower in a reproducible A/B (text_stats 10.1 s vs 1.7 s,
+    # ngram 20.5 vs 14.5, same session shape minutes apart) — a real
+    # 4-executor cluster holds four 16g heaps, never one 64g.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{min(cpus * 2, 16)}g")
     spark = get_spark("bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
