@@ -205,6 +205,15 @@ def expected_ivf_topk_rows(
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_pylist()
     vecs = [[float(x) for x in v] for v in t.column("embedding").to_pylist()]
+    if len(vecs) > 4096:
+        # IVFIndex.fit switches to a partition-seeded df.sample() above its
+        # sample_cap (4096) — a draw this all-rows recompute cannot replay.
+        # Fail loudly instead of silently fitting divergent centroids.
+        raise ValueError(
+            f"expected_ivf_topk_rows: {len(vecs)} embeddings exceed "
+            "IVFIndex.fit's sample_cap=4096 — the fit would sample and this "
+            "oracle fits on all rows; point the oracle at a smaller corpus"
+        )
     cents = _lloyd_centroids(np.array(vecs, dtype=float), nlist, seed, iters)
     q = vecs[ids.index(query_vec_id)]
     probe = set(_probe_cells(cents, np.asarray(q, dtype=float), nprobe))

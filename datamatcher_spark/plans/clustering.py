@@ -5,7 +5,11 @@ Spark has no DataFrame CC (GraphFrames is external), so this is the
 ~60-line alternating large-star/small-star algorithm (Kiveris et al.,
 "Connected Components in MapReduce and Beyond", SoCC'14), which converges
 in O(log n) rounds on pathological graphs — the planted clusters here
-converge in 2-3. Each round is two groupBy-min joins; iteration lineage
+converge in 2-3. Each round is two groupBy-min joins costing THREE
+keyed exchanges total (sym by src; large-star dedup by src, reused by
+small-star's agg+join; final dedup) and ONE job (the convergence digest
+doubles as the lazy checkpoint's materialization action — r6 rework;
+the r5 shape paid 5 exchanges + 2 jobs per round). Iteration lineage
 is cut per round so the plan doesn't grow unboundedly — with
 ``localCheckpoint`` by default, or RELIABLE ``checkpoint()`` when a
 ``checkpoint_dir`` is given (``PipelineConfig.checkpoint_dir`` threads it
@@ -27,55 +31,117 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _dedup(edges: DataFrame, n: int | None) -> DataFrame:
+def _dedup(
+    edges: DataFrame, n: int | None, keys: tuple[str, ...] = ("src", "dst")
+) -> DataFrame:
     """Distinct (src, dst) at a CONTROLLED partition count: an explicit
-    ``repartition(n, src, dst)`` both sets the parallelism and satisfies
-    the dedup's required distribution, so dropDuplicates adds no second
-    exchange — the loop's shuffle width never touches the session conf."""
+    keyed ``repartition`` both sets the parallelism and satisfies the
+    dedup's required distribution, so dropDuplicates adds no second
+    exchange — the loop's shuffle width never touches the session conf.
+
+    ``keys`` picks the repartition key set: any non-empty SUBSET of the
+    grouping keys satisfies dropDuplicates' required clustering
+    (HashPartitioning.satisfies only needs its expressions to appear in
+    the clustering keys), so keying by ``src`` alone lets the SAME
+    exchange feed a downstream groupBy/join on src exchange-free — one
+    shuffle where the r5 shape had two."""
     if n:
-        edges = edges.repartition(n, "src", "dst")
+        edges = edges.repartition(n, *keys)
     return edges.dropDuplicates(["src", "dst"])
 
 
-def _canon(edges: DataFrame, n: int | None = None) -> DataFrame:
+def _canon(edges: DataFrame, n: int | None = None,
+           keys: tuple[str, ...] = ("src", "dst")) -> DataFrame:
     """Orient (hi → lo), drop self-loops, dedup."""
     a, b = F.col("src"), F.col("dst")
     return _dedup(
         edges.select(F.greatest(a, b).alias("src"), F.least(a, b).alias("dst"))
         .filter(F.col("src") != F.col("dst")),
         n,
+        keys,
     )
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both orientations of every edge in ONE pass — explode, NOT
+    ``e.union(swap(e))``: a union references the upstream plan twice and
+    the analyzer's self-reference de-aliasing defeats ReuseExchange, so
+    the r5 groupBy+self-join star shapes physically shuffled the same
+    rows TWICE per star (verified in the AQE final plan)."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def _large_star(edges: DataFrame, n: int | None = None) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
+
+    The per-node min is a WINDOW aggregate over the symmetrized edges —
+    one exchange, one sort, no self-join (the r5 groupBy+join form cost
+    two physical shuffles of sym because exchange reuse can't see through
+    self-join aliasing, plus the join itself).
+
+    Output contract (the loop's small-star relies on it): canonical —
+    src > dst STRICTLY (m ≤ u < v for every emitted (v, m), so no self
+    loops), dedup'd on (src, dst), and when ``n`` is set hash-partitioned
+    by src at width n."""
+    from pyspark.sql.window import Window
+
+    sym = _sym(edges)
     if n:
-        # one keyed shuffle feeds BOTH the min-agg and the join probe side
-        # exchange-free (hashpartitioning(src, n) satisfies each)
         sym = sym.repartition(n, "src")
-    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
-    mins = mins.select("src", F.least("mn", F.col("src")).alias("m"))
+    m = F.least(F.min("dst").over(Window.partitionBy("src")), F.col("src"))
     return _dedup(
-        sym.join(mins, "src")
+        sym.withColumn("m", m)
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst")),
         n,
+        keys=("src",),  # the dedup exchange doubles as small-star's input layout
     )
 
 
-def _small_star(edges: DataFrame, n: int | None = None) -> DataFrame:
-    """Connect every ≤-neighbor of u (and u) to min(N(u) ∪ {u})."""
-    e = _canon(edges, n)  # src > dst everywhere
-    if n:
-        e = e.repartition(n, "src")
-    mins = e.groupBy("src").agg(F.min("dst").alias("m"))
-    via_lo = e.join(mins, "src").select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-    via_hi = mins.select(F.col("src"), F.col("m").alias("dst"))
-    return _dedup(via_lo.union(via_hi).filter(F.col("src") != F.col("dst")), n)
+def _small_star(edges: DataFrame, n: int | None = None,
+                pre_canonical: bool = False) -> DataFrame:
+    """Connect every ≤-neighbor of u (and u) to min(N(u) ∪ {u}).
+
+    ``pre_canonical=True`` asserts the input already satisfies
+    ``_large_star``'s output contract (oriented src > dst, self-loop
+    free, dedup'd, src-partitioned at width n) — the loop sets it, which
+    drops the redundant canon shuffle the r5 shape paid every round, and
+    the window min then runs EXCHANGE-FREE on the upstream src-keyed
+    dedup layout (hashpartitioning(src) satisfies the window's required
+    clustering). Both emissions — (v, m(u)) per edge and (u, m(u)) —
+    come out of one explode so no subtree is referenced twice; the
+    per-edge duplicate (u, m(u)) rows are absorbed by the final dedup."""
+    from pyspark.sql.window import Window
+
+    if pre_canonical:
+        e = edges
+    else:
+        # src-keyed dedup so the window below reuses the exchange
+        e = _canon(edges, n, keys=("src",))
+    e_m = e.withColumn("m", F.min("dst").over(Window.partitionBy("src")))
+    both = e_m.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("dst").alias("src"), F.col("m").alias("dst")),
+                F.struct(F.col("src").alias("src"), F.col("m").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return _dedup(both.filter(F.col("src") != F.col("dst")), n)
 
 
 def _edge_digest(edges: DataFrame):
+    """ONE aggregate job: (count, order-independent hash-sum). Run
+    against a LAZILY checkpointed frame this is also the materialization
+    action — the digest rides the checkpoint scan instead of costing the
+    loop a second job per round (the r5 shape's separate digest job)."""
     row = edges.agg(
         F.count("*").alias("n"),
         F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
@@ -107,12 +173,13 @@ def connected_components(
 
     The iteration's shuffle parallelism is clamped to the edge volume
     (~100k edges/partition) rather than inheriting the session setting:
-    each round is ~6 shuffles and a checkpoint job, so on a small edge
-    set a wide session setting turns CC into hundreds of near-empty
-    tasks whose launch overhead dominates — measured ANTI-scaling, 7.7 s
-    at 2 cores → 22.3 s at 8 on a 97k-cluster graph. On a cluster-scale
-    edge set the clamp resolves to the session setting and changes
-    nothing. Override with ``shuffle_partitions`` to pin it.
+    each round is 3 keyed exchanges and one digest-materialization job,
+    so on a small edge set a wide session setting turns CC into hundreds
+    of near-empty tasks whose launch overhead dominates — measured
+    ANTI-scaling, 7.7 s at 2 cores → 22.3 s at 8 on a 97k-cluster graph
+    (under the pre-r6 5-exchange round). On a cluster-scale edge set the
+    clamp resolves to the session setting and changes nothing. Override
+    with ``shuffle_partitions`` to pin it.
 
     The clamp is applied per-operation (explicit keyed ``repartition``
     ahead of every groupBy/join/dedup inside the loop — see ``_dedup``),
@@ -126,28 +193,35 @@ def connected_components(
         spark.sparkContext.setCheckpointDir(str(checkpoint_dir))
 
     def _cut(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if checkpoint_dir else df.localCheckpoint()
+        # LAZY checkpoint: the digest that immediately follows is the
+        # materialization action, so each round runs ONE job (the r5
+        # shape ran an eager checkpoint job PLUS a digest job). For the
+        # reliable path this also drops the eager count() pre-pass, so
+        # the checkpoint write's recompute is the only second scan.
+        if checkpoint_dir:
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
 
     # first canon runs at session width (the clamp needs the edge count,
     # and counting BEFORE canon would execute the upstream edge plan
     # twice); everything inside the loop is clamped
     e = _cut(_canon(edges))
-    if e.isEmpty():
+    prev = _edge_digest(e)  # one job: materializes entry state + counts it
+    if prev[0] == 0:
         return e.select(F.col("src").alias("node"), F.col("dst").alias("component")), 0
 
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if shuffle_partitions is None:
-        n_edges = e.count()  # cheap: e is checkpointed
-        shuffle_partitions = max(2, min(session_parts, n_edges // 100_000 + 1))
+        shuffle_partitions = max(2, min(session_parts, prev[0] // 100_000 + 1))
     n = shuffle_partitions
 
-    prev = None
     iters = 0
     for _ in range(max_iterations):
         iters += 1
-        e = _cut(_small_star(_large_star(e, n), n))
-        if iters == 1:
-            continue  # round 1 always changes something; skip the digest job
+        e = _cut(_small_star(_large_star(e, n), n, pre_canonical=True))
+        # comparing round 1 against the ENTRY digest is sound: star-round
+        # output == input means the graph is already a star forest
+        # (fixed point), so an already-converged input exits in 1 round
         digest = _edge_digest(e)
         if digest == prev:
             break

@@ -189,12 +189,22 @@ def execute_profile(
         return wd / "commits" / f"source_{i}.json"
 
     def _marker_doc(i: int) -> dict | None:
-        """Committed marker for source i, or None when absent/stale
-        (fingerprint mismatch ⇒ the profile changed since the commit)."""
+        """Committed marker for source i, or None when absent/stale.
+        Stale means: fingerprint mismatch (the profile changed since the
+        commit), or — when THIS run exports the change log — a fold
+        marker committed by a run that did NOT capture per-source logs
+        (``change_log`` absent): resuming it would silently omit that
+        source from the artifact, so the fold is redone instead.
+        Pass-through markers (no bound mappings ⇒ no ``source_info``)
+        never carry a log and stay valid either way."""
         if not _marker(i).exists():
             return None
         doc = _json.loads(_marker(i).read_text())
-        return doc if doc.get("profile_fp") == fp else None
+        if doc.get("profile_fp") != fp:
+            return None
+        if export_change_log and doc.get("source_info") and not doc.get("change_log"):
+            return None
+        return doc
 
     def _out(i: int) -> str:
         return str(wd / f"source_{i}.parquet")

@@ -1629,6 +1629,11 @@ def _ivf_oracle_sql() -> str:
     rows = expected_ivf_topk_rows(
         _oracle_sf_dir(), nlist=8, seed=5, k=10, nprobe=4, query_vec_id=0
     )
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS vec_id,"
+            " CAST(NULL AS DOUBLE) AS cosine WHERE FALSE"
+        )
     vals = ",\n      ".join(f"({vid}, {cos!r})" for vid, cos in rows)
     return f"""
     SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cosine AS DOUBLE) AS cosine
