@@ -23,6 +23,20 @@ from datamatcher_spark.norm.keys import (
 )
 
 
+_NORM_OPT_KEYS = frozenset(
+    {"case_insensitive", "strip_leading_zeros", "treat_empty_as_null",
+     "strip_decimal", "normalize_paths"}
+)
+
+
+def _norm_opts(opts: dict | None) -> dict:
+    """key_options minus matcher-level flags: the reference stores
+    ``fuzzy_threshold`` INSIDE key_options (gui/main_window.py:470-476),
+    but it parameterizes the lookup, not the key normalizer — filter so a
+    reference-style dict never TypeErrors ``normalize_key_expr``."""
+    return {k: v for k, v in (opts or {}).items() if k in _NORM_OPT_KEYS}
+
+
 def build_variant_index(source: DataFrame, key_column: str,
                         expand_ean_variants: bool = True) -> DataFrame:
     """J1 — the build side: one row per (variant key, source row), with
@@ -69,7 +83,7 @@ def enrich_join(
     """J2 — left-outer enrichment lookup: normalize the probe key, join the
     best-row variant index, prefix source columns. Adds ``__matched`` and
     ``__conflicts`` lineage columns."""
-    opts = key_options or {}
+    opts = _norm_opts(key_options)
     probe = normalize_key_expr(F.col(base_key), **opts)
     idx = best_row_per_key(build_variant_index(source, source_key), target_column)
     idx = idx.select(
@@ -87,7 +101,7 @@ def anti_join_unmatched(base: DataFrame, source: DataFrame, base_key: str,
                         source_key: str, key_options: dict | None = None) -> DataFrame:
     """J8 — rows of base whose key has no source match (unmatched export,
     core/reporter.py:92-116)."""
-    opts = key_options or {}
+    opts = _norm_opts(key_options)
     probe = normalize_key_expr(F.col(base_key), **opts)
     idx = build_variant_index(source, source_key).select("__bk").distinct()
     return base.withColumn("__bk", probe).join(idx, "__bk", "left_anti").drop("__bk")
@@ -96,7 +110,7 @@ def anti_join_unmatched(base: DataFrame, source: DataFrame, base_key: str,
 def match_stats(base: DataFrame, source: DataFrame, base_key: str, source_key: str,
                 key_options: dict | None = None) -> dict:
     """J9/A5 — match-rate via semi-join count (core/data_source.py:324-350)."""
-    opts = key_options or {}
+    opts = _norm_opts(key_options)
     probe = normalize_key_expr(F.col(base_key), **opts)
     keyed = base.withColumn("__bk", probe).filter(F.col("__bk").isNotNull())
     idx = build_variant_index(source, source_key).select("__bk").distinct()
@@ -123,16 +137,26 @@ def fuzzy_enrich_candidates(
     pruned by the reference's cheap filters (first char match OR length
     delta ≤ 2 — utils/fuzzy_matcher.py:79-87), scored with the built-in
     Levenshtein ratio, best match per base key kept (O4 argmax)."""
-    from datamatcher_spark.functions.similarity import levenshtein_sim_expr
-
     b = base.select(F.lower(probe_key_expr(F.col(base_key))).alias("probe")).distinct()
     s = source.select(F.lower(probe_key_expr(F.col(source_key))).alias("cand")).distinct()
-    # The reference prunes with `first char matches OR |len delta| ≤ 2`
-    # (utils/fuzzy_matcher.py:79-87). A crossJoin + filter would be a
-    # cartesian scan at scale; instead each disjunct becomes an
-    # equi-join blocking key — key side exploded to (first-char) ∪
-    # (length-bucket ± neighbors), then a hash join per key. Same
-    # candidate set, zero cartesian products.
+    return _fuzzy_best_match(b, s, threshold, block_expr)
+
+
+def _fuzzy_best_match(
+    b: DataFrame, s: DataFrame, threshold: float,
+    block_expr: Column | None = None,
+) -> DataFrame:
+    """Best fuzzy candidate per probe key: ``b(probe)`` × ``s(cand)`` →
+    (probe, cand, sim), one row per probe, sim ≥ threshold.
+
+    The reference prunes with `first char matches OR |len delta| ≤ 2`
+    (utils/fuzzy_matcher.py:79-87). A crossJoin + filter would be a
+    cartesian scan at scale; instead each disjunct becomes an
+    equi-join blocking key — key side exploded to (first-char) ∪
+    (length-bucket ± neighbors), then a hash join per key. Same
+    candidate set, zero cartesian products."""
+    from datamatcher_spark.functions.similarity import levenshtein_sim_expr
+
     def keyed(df: DataFrame, col: str, expand: bool) -> DataFrame:
         first = F.concat(F.lit("c:"), F.substring(col, 1, 1))
         if expand:  # probe side carries one key per admissible length
@@ -157,3 +181,91 @@ def fuzzy_enrich_candidates(
     ).filter(F.col("sim") >= threshold)
     w = Window.partitionBy("probe").orderBy(F.desc("sim"), F.asc("cand"))
     return scored.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+
+def fuzzy_fallback_join(
+    joined: DataFrame,
+    source: DataFrame,
+    base_key: str,
+    source_key: str,
+    *,
+    threshold: float = 0.85,
+    key_options: dict | None = None,
+    src_prefix: str = "src_",
+) -> DataFrame:
+    """Per-row fuzzy fallback AFTER an exact ``enrich_join`` — the
+    reference's lookup cascade when ``fuzzy_threshold < 1.0`` is set in
+    key_options (core/matcher.py:246-252 → core/data_source.py:287-321):
+    exact probe first (already done by ``enrich_join``), then for every
+    base key that missed, the best Levenshtein-ratio candidate ≥ threshold
+    over the source's variant-expanded normalized keys. The matched row is
+    the FIRST source row of that key — the reference's ``_key_lookup``
+    stores first-row-per-variant (core/data_source.py:165-167) and its
+    fuzzy path does no per-target-column duplicate handling — and
+    ``__conflicts`` is 0 (the fuzzy branch tracks none).
+
+    Candidate pruning is the blocked equi-join of ``_fuzzy_best_match``
+    (first-char ∪ length±2) — the filter the reference applies in its
+    >100-candidate regime, here applied always: at scale the small-scan
+    regime never occurs, and a ≥0.85 Levenshtein ratio across BOTH a
+    first-char mismatch and a length delta >2 needs keys ≥20 chars.
+    Ties (equal sim) break on the lexicographically-smallest candidate —
+    deterministic, where the reference inherits dict insertion order.
+
+    Adds ``__fuzzy_score`` / ``__fuzzy_key`` lineage (null for exact/
+    unmatched rows), fills ``src_*`` for fuzzily matched rows, and flips
+    their ``__matched`` to true.
+    """
+    opts = _norm_opts(key_options)
+    probe_expr = F.lower(normalize_key_expr(F.col(base_key), **opts))
+
+    # fuzzy granularity is the KEY: distinct normalized keys that missed
+    unmatched = (
+        joined.filter(~F.col("__matched"))
+        .select(probe_expr.alias("probe"))
+        .filter(F.col("probe").isNotNull())
+        .distinct()
+    )
+
+    # the reference's candidate set = every variant key in _key_lookup;
+    # first source row per (lowered) variant key, ties by file order
+    lk = F.lower(F.col("__bk"))
+    w = Window.partitionBy(lk).orderBy(F.asc("__src_order"))
+    first_rows = (
+        build_variant_index(source, source_key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select(
+            lk.alias("cand"),
+            *[F.col(c).alias(f"__fz_{c}") for c in source.columns],
+        )
+    )
+
+    best = _fuzzy_best_match(unmatched, first_rows.select("cand"), threshold)
+    fuzzy_map = best.join(first_rows, "cand").select(
+        F.col("probe").alias("__probe"),
+        F.col("sim").alias("__fz_sim"),
+        F.col("cand").alias("__fz_key"),
+        *[F.col(f"__fz_{c}") for c in source.columns],
+    )
+
+    out = joined.withColumn("__probe", probe_expr).join(
+        fuzzy_map, "__probe", "left"
+    )
+    hit = ~F.col("__matched") & F.col("__fz_key").isNotNull()
+    merged = [
+        F.when(hit, F.col(f"__fz_{c}")).otherwise(F.col(src_prefix + c))
+        .alias(src_prefix + c)
+        for c in source.columns
+    ]
+    keep = [c for c in joined.columns
+            if c not in {src_prefix + s for s in source.columns}
+            and c not in ("__matched", "__conflicts")]
+    return out.select(
+        *keep,
+        *merged,
+        (F.col("__matched") | hit).alias("__matched"),
+        F.when(hit, F.lit(0)).otherwise(F.col("__conflicts")).alias("__conflicts"),
+        F.when(hit, F.col("__fz_sim")).alias("__fuzzy_score"),
+        F.when(hit, F.col("__fz_key")).alias("__fuzzy_key"),
+    )

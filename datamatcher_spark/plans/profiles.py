@@ -131,6 +131,14 @@ def execute_profile(
     frames); the default dispatches parquet vs. ``sources.ingest
     .load_file`` sniffing by extension.
 
+    A source's key_options (or the base's, reference-style) may carry
+    ``fuzzy_threshold < 1.0`` — the desktop fuzzy-matching toggle
+    (gui/main_window.py:470-476): exact-probe misses are then retried via
+    ``fuzzy_fallback_join`` (best Levenshtein-ratio candidate ≥ threshold
+    over the source's variant keys, first-row-per-key semantics,
+    core/data_source.py:287-321) before the mapping fold; rows that also
+    miss fuzzy keep NO_MATCH lineage.
+
     ``work_dir`` enables MID-JOB RESUME — the enrichment-side analogue of
     ``plans.run``'s commit markers and of the reference's persisted
     session position (utils/session.py:17-98): each completed source fold
@@ -158,7 +166,11 @@ def execute_profile(
     """
     import json as _json
 
-    from datamatcher_spark.operators.enrich import enrich_join, match_stats
+    from datamatcher_spark.operators.enrich import (
+        enrich_join,
+        fuzzy_fallback_join,
+        match_stats,
+    )
     from datamatcher_spark.operators.merge import apply_mappings
     from datamatcher_spark.operators.report_render import change_log
 
@@ -266,6 +278,16 @@ def execute_profile(
             df, src, base_key, spec.key_column,
             bound[0].source_column or src.columns[0], key_options=opts,
         )
+        # the reference's fuzzy fallback: key_options carrying
+        # fuzzy_threshold < 1.0 (gui/main_window.py:470-476) retries every
+        # exact-probe miss against the source's variant keys and takes the
+        # best Levenshtein candidate ≥ threshold (core/matcher.py:246-252)
+        fuzzy_threshold = float((opts or {}).get("fuzzy_threshold", 1.0))
+        if fuzzy_threshold < 1.0:
+            joined = fuzzy_fallback_join(
+                joined, src, base_key, spec.key_column,
+                threshold=fuzzy_threshold, key_options=opts,
+            )
         folded = apply_mappings(
             joined, bound, matched=F.col("__matched"),
             retain_old=export_change_log,
@@ -295,7 +317,8 @@ def execute_profile(
             c for c in folded.columns
             if export_change_log and c.startswith("__old_")
         ]
-        df = folded.drop("__matched", "__conflicts", *drop, *old_cols)
+        df = folded.drop("__matched", "__conflicts", "__fuzzy_score",
+                         "__fuzzy_key", *drop, *old_cols)
         mappings_info += minfo
         if wd:
             # materialize + commit: marker written only AFTER the parquet
