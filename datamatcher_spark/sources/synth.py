@@ -211,6 +211,57 @@ def generate_pages(spark: SparkSession, n_docs: int = 10_000, seed: int = 42,
     return generate_pages_with_truth(spark, n_docs, seed, **kw).drop("cluster_id")
 
 
+def generate_adversarial_pages(
+    spark: SparkSession,
+    n_base: int = 8_000,
+    n_mega: int = 1_200,
+    n_boiler: int = 400,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew stress corpus (SURVEY §7 hard part (a); judge r5 item 4): the
+    planted-cluster base PLUS two adversarial bands —
+
+    * one MEGA-DOMAIN holding ``n_mega`` docs (≈10% of the corpus at the
+      defaults) with mutually-distinct texts: its ``dom:`` block is
+      quadratic-poisonous and must be truncated out of pair generation
+      with the drop LOGGED to the census, while its docs remain reachable
+      through their (naturally small) LSH band keys;
+    * one BOILERPLATE band: ``n_boiler`` docs with byte-identical text on
+      distinct single-doc domains — every one of their ``lsh:`` band keys
+      collects all ``n_boiler`` docs and must be band-cap truncated the
+      same way (the head-of-web boilerplate pathology: cookie banners,
+      footer legalese).
+
+    Everything is JVM expressions over ``spark.range`` — deterministic and
+    partition-invariant by construction. Reference analogue: none (the
+    desktop engine never blocks; this is the north rule's skew clause).
+    """
+    base = generate_pages(spark, n_docs=n_base, seed=seed)
+    mega = spark.range(n_mega).selectExpr(
+        "concat('https://mega-hub.example/item/', id) AS url",
+        "timestamp('2026-01-05 00:00:00') AS warc_ts",
+        "cast(concat('<html><head><title>Mega item ', id,"
+        " '</title></head><body>catalog</body></html>') AS binary) AS html",
+        "concat('mega item ', id, ' alpha', pmod(id * 7, 97),"
+        " ' beta', pmod(id * 13, 89), ' gamma', pmod(id * 31, 83),"
+        " ' delta', pmod(id * 3, 79)) AS text",
+        "'en' AS lang",
+    )
+    boiler_text = (
+        "cookie policy accept terms privacy boilerplate footer navigation "
+        "copyright legal notice contact about"
+    )
+    boiler = spark.range(n_boiler).selectExpr(
+        "concat('https://bp-', id, '.example/page') AS url",
+        "timestamp('2026-01-06 00:00:00') AS warc_ts",
+        "cast('<html><head><title>Legal</title></head><body>x</body></html>'"
+        " AS binary) AS html",
+        f"'{boiler_text}' AS text",
+        "'en' AS lang",
+    )
+    return base.unionByName(mega).unionByName(boiler)
+
+
 def generate_labeled_pairs(pages_truth: DataFrame, neg_per_pos: float = 2.0,
                            seed: int = 42) -> DataFrame:
     """labeled_pairs(url_a, url_b, label, block_key) — FIXTURES.md §2.

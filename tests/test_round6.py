@@ -299,6 +299,86 @@ def test_cc_round_is_three_exchanges(spark):
     assert n_reused == 0, final
 
 
+# ---------------------------------------------------------------------------
+# adversarial skew stress (VERDICT r5 item 4 / SURVEY §7 hard part (a))
+# ---------------------------------------------------------------------------
+
+
+def test_skew_stress_census_and_task_balance(spark):
+    """A mega-domain (~10% of docs) and a boilerplate band must (a) land
+    in the truncation census — never silently dropped — and (b) leave the
+    salted + compute-dense-repartitioned score stage with BOUNDED task
+    skew (max/median per-task wall and row ratios), measured with an
+    in-job per-partition timer (the upstream scoring compute pipelines
+    into the timing task)."""
+    import time as _t
+
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    from datamatcher_spark.plans.blocking import (
+        block_keys,
+        features,
+        salted_repartition,
+        truncate_oversized,
+    )
+    from datamatcher_spark.plans.config import PipelineConfig
+    from datamatcher_spark.plans.scoring import candidate_pairs, score_pairs
+    from datamatcher_spark.sources.synth import generate_adversarial_pages
+
+    cfg = PipelineConfig()
+    pages = generate_adversarial_pages(
+        spark, n_base=8_000, n_mega=1_200, n_boiler=400, seed=11
+    ).cache()
+    pages.count()
+    raw = block_keys(pages, cfg).persist()
+    try:
+        kept, truncated = truncate_oversized(raw, cfg)
+        census = {r.block_key: r.block_size for r in truncated.collect()}
+
+        # (a) the mega-domain block is censused at its full size…
+        assert census.get("dom:mega-hub.example") == 1_200, census
+        # …and so is every one of the boilerplate band's 16 lsh keys
+        big_bands = {k: v for k, v in census.items()
+                     if k.startswith("lsh:") and v >= 400}
+        assert len(big_bands) == cfg.lsh_bands, big_bands
+        # nothing oversized survives into pair generation
+        mx = kept.groupBy("block_key").count().agg(F.max("count")).first()[0]
+        assert mx <= max(cfg.max_block_size, cfg.max_band_size)
+
+        # (b) task balance through the salted + compute-dense score stage
+        feats = features(pages, cfg)
+        pairs = candidate_pairs(salted_repartition(kept, cfg))
+        scored = score_pairs(pairs, feats, cfg).select(
+            "jw_title", "jaccard_text", "score", "accepted"
+        )
+
+        def timer(batches):
+            t0 = _t.monotonic()
+            n = 0
+            for b in batches:
+                n += len(b)
+            yield pd.DataFrame(
+                {"pid": [TaskContext.get().partitionId()],
+                 "rows": [n], "sec": [_t.monotonic() - t0]}
+            )
+
+        stats = scored.mapInPandas(
+            timer, "pid int, rows long, sec double"
+        ).collect()
+        assert len(stats) >= 4  # the stage actually fanned out
+        rows = sorted(r.rows for r in stats)
+        secs = sorted(r.sec for r in stats)
+        med_rows = rows[len(rows) // 2]
+        med_sec = max(secs[len(secs) // 2], 0.05)  # floor: sub-50ms noise
+        assert rows[-1] <= 4 * max(med_rows, 1), rows
+        assert secs[-1] <= 5 * med_sec, (rows, secs)
+    finally:
+        raw.unpersist()
+        pages.unpersist()
+
+
 def test_cc_window_rewrite_matches_union_find(spark):
     """The window-min star rewrite must produce identical components to
     a union-find oracle on a graph that exercises dup emission (cliques)
