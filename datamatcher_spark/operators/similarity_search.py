@@ -127,9 +127,69 @@ class IVFIndex:
         arr = F.array(*sims)
         return F.array_position(arr, F.array_max(arr)).cast("int") - 1
 
-    def assign(self, df: DataFrame, vec_col: str) -> DataFrame:
-        """Add the ``ivf_cell`` column (done once, at index-build time)."""
-        return df.withColumn("ivf_cell", self._cell_expr(vec_col))
+    def assign(self, df: DataFrame, vec_col: str,
+               method: str = "auto") -> DataFrame:
+        """Add the ``ivf_cell`` column (done once, at index-build time).
+
+        Two physical forms behind the same API, identical results
+        (parity-tested at nlist=16):
+
+        * ``expr`` — inline one cosine expression per centroid
+          (``_cell_expr``). Zero row amplification and whole-stage
+          codegen, but the expression tree grows with nlist: fine at
+          nlist ≤ 64, and past a few hundred the generated code bloats
+          (compile time, JIT limits) — the wrong plan at realistic
+          nlist (1k-4k).
+        * ``join`` — broadcast the centroid table, score nlist rows per
+          vector, per-row argmax via a lexicographic struct max (highest
+          sim, then LOWEST cell id — the same first-max tie-break as
+          ``array_position``). Row amplification nlist×, but it is plain
+          broadcast-join + hash-agg: distributed, no codegen blowup, and
+          the shape that keeps working at nlist=4096.
+
+        ``auto`` picks expr at nlist ≤ 64 (the measured comfortable zone
+        for the inline tree), join above.
+        """
+        if method == "auto":
+            method = "expr" if len(self.centroids) <= 64 else "join"
+        if method == "expr":
+            return df.withColumn("ivf_cell", self._cell_expr(vec_col))
+        spark = df.sparkSession
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "ivf_cell int, __centroid array<double>",
+        )
+        # transient per-row key: hash of the vector itself — deterministic
+        # under recomputation (unlike monotonically_increasing_id, whose
+        # two sides of the self-join below could disagree after a retry),
+        # and duplicate vectors collapsing to one argmax row is correct
+        # because equal vectors get equal cells
+        rid = F.xxhash64(F.col(vec_col).cast("array<double>"))
+        base = df.withColumn("__rid", rid)
+        sims = (
+            base.select("__rid", F.col(vec_col).cast("array<double>").alias("__v"))
+            .dropDuplicates(["__rid"])
+            .join(F.broadcast(cents))
+            .select(
+                "__rid",
+                F.col("ivf_cell"),
+                cosine_sim_expr(F.col("__v"), F.col("__centroid")).alias("__sim"),
+            )
+        )
+        best = (
+            sims.groupBy("__rid")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__sim"),
+                        (-F.col("ivf_cell")).alias("__neg"),
+                        F.col("ivf_cell"),
+                    )
+                ).alias("__best")
+            )
+            .select("__rid", F.col("__best.ivf_cell").alias("ivf_cell"))
+        )
+        return base.join(best, "__rid").drop("__rid")
 
     def assign_cell_py(self, vec: Sequence[float]) -> int:
         """Driver-side twin of ``_cell_expr`` for one vector: JVM-fold

@@ -94,11 +94,17 @@ def load_file(spark: SparkSession, path: str | Path, **kw) -> DataFrame:
 
         df, _names = load_xlsx(spark, path, **kw)
         return df
-    if suffix in (".xls", ".xlsb"):
+    if suffix == ".xls":
+        from datamatcher_spark.sources.xls import load_xls
+
+        df, _names = load_xls(spark, path, **kw)
+        return df
+    if suffix == ".xlsb":
         raise NotImplementedError(
-            "legacy binary Excel formats need xlrd/pyxlsb engines not "
-            "present in this environment; .xlsx is supported natively "
-            "(sources/xlsx.py), or convert to parquet/CSV."
+            ".xlsb needs the proprietary pyxlsb engine (the reference "
+            "does too, utils/file_handlers.py:87); .xls (BIFF8) and .xlsx "
+            "are supported natively (sources/xls.py, sources/xlsx.py), "
+            "or convert to parquet/CSV."
         )
     raise ValueError(f"unsupported file format: {suffix}")
 

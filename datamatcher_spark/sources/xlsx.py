@@ -13,8 +13,9 @@ feed ``spark.createDataFrame`` and everything downstream is distributed.
 
 The writer emits the same subset (inline strings + numbers, one sheet)
 so CSV-report-style extracts can round-trip and tests need no fixture
-binaries. Legacy .xls / .xlsb remain unsupported (binary formats out of
-scope; the reference needs extra engines for them too).
+binaries. Legacy .xls (BIFF8) has its own stdlib codec in ``xls.py``
+sharing this module's ``grid_to_df`` typing; .xlsb remains unsupported
+(the reference needs the pyxlsb engine for it too).
 """
 
 from __future__ import annotations
@@ -132,21 +133,15 @@ def read_xlsx_rows(path: str | Path, sheet: str | None = None) -> list[list]:
         return [r + [None] * (width - len(r)) for r in grid]
 
 
-def load_xlsx(
-    spark: SparkSession,
-    path: str | Path,
-    *,
-    sheet: str | None = None,
-    header: bool = True,
-) -> tuple[DataFrame, list[str]]:
-    """(DataFrame, sheet names) — the reference ``load_excel`` contract.
+def grid_to_df(spark: SparkSession, grid: list[list], header: bool = True) -> DataFrame:
+    """Shared cell-grid → DataFrame typing for every Excel codec (xlsx and
+    the BIFF8 .xls twin must produce IDENTICAL frames for identical grids).
 
     Column typing mirrors pandas.read_excel loosely: a column whose
     non-null cells are all numeric becomes double, else everything is
     stringified (the engine's merge land is stringly-typed anyway).
     Integral doubles render without the trailing '.0' like the reference
     sees for Excel's integer-valued numeric cells."""
-    grid = read_xlsx_rows(path, sheet)
     if not grid:
         raise ValueError("empty sheet")
     if header:
@@ -192,7 +187,19 @@ def load_xlsx(
     schema = ", ".join(
         f"`{c}` {'double' if numeric[i] else 'string'}" for i, c in enumerate(uniq)
     )
-    return spark.createDataFrame(rows, schema), sheet_names(path)
+    return spark.createDataFrame(rows, schema)
+
+
+def load_xlsx(
+    spark: SparkSession,
+    path: str | Path,
+    *,
+    sheet: str | None = None,
+    header: bool = True,
+) -> tuple[DataFrame, list[str]]:
+    """(DataFrame, sheet names) — the reference ``load_excel`` contract
+    (utils/file_handlers.py:71-107), typing via ``grid_to_df``."""
+    return grid_to_df(spark, read_xlsx_rows(path, sheet), header), sheet_names(path)
 
 
 # ---------------------------------------------------------------------------
