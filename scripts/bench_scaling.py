@@ -49,8 +49,15 @@ spark = get_spark(f"scaling-{{cores}}", master=f"local[{{cores}}]",
 # hardware in real clusters; AQE coalesces where the extra splits are
 # pure overhead
 spark.sparkContext.setLogLevel("ERROR")
+# DISK_ONLY, not cache(): the corpus is the untimed INPUT FIXTURE — on a
+# real cluster it is a parquet/Iceberg table on storage, not executor
+# heap. In-heap caching at the biggest sizes competes with execution
+# memory on the narrow leg (1.92M docs in the 2-core/4g executor-model
+# heap died on a GCLocker allocation wall in the block stage) and would
+# measure cache-vs-execution contention, not the pipeline.
+from pyspark import StorageLevel
 pages = generate_pages(spark, n_docs=n_docs, seed=seed,
-                       n_partitions=cores * 2).cache()
+                       n_partitions=cores * 2).persist(StorageLevel.DISK_ONLY)
 n_rows = pages.count()
 fp = corpus_fingerprint(pages)
 

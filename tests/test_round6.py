@@ -414,6 +414,69 @@ def test_xls_sst_continue_split(tmp_path):
     assert read_xls_rows(p) == rows
 
 
+def test_xls_roundtrip_property(tmp_path):
+    """Property: any grid of str/float/bool/None cells survives the
+    BIFF8 write→read round trip (header row kept dense so column width
+    is well-defined)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datamatcher_spark.sources.xls import read_xls_rows, write_xls
+
+    cell = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            max_size=40,
+        ),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=6).flatmap(
+            lambda w: st.lists(
+                st.lists(cell, min_size=w, max_size=w), min_size=1, max_size=8
+            )
+        )
+    )
+    def check(grid):
+        # BIFF cells are sparse: a fully-empty trailing column or row is
+        # unrepresentable (no cell records) — normalize the expectation
+        # the same way the reader sees it
+        p = tmp_path / "prop.xls"
+        write_xls(grid, p)
+        got = read_xls_rows(p)
+        present = [
+            (ri, ci)
+            for ri, row in enumerate(grid)
+            for ci, v in enumerate(row)
+            if v is not None
+        ]
+        if not present:
+            assert got == []
+            return
+        width = max(ci for _, ci in present) + 1
+        expected = [
+            [(v if not isinstance(v, (bool, float)) or isinstance(v, bool)
+              else float(v)) for v in row[:width]]
+            + [None] * (width - len(row[:width]))
+            for ri, row in enumerate(grid)
+            if any(v is not None for v in row)
+        ]
+        # writer stores ints/floats as doubles
+        expected = [
+            [float(v) if isinstance(v, float) else v for v in row]
+            for row in expected
+        ]
+        assert got == expected
+
+    check()
+
+
 def test_xlsb_still_blocked(spark, tmp_path):
     from datamatcher_spark.sources.ingest import load_file
 
