@@ -352,8 +352,9 @@ def test_xls_roundtrip_and_xlsx_parity(spark, tmp_path):
     df_xls = load_file(spark, p_xls)
     df_xlsx = load_file(spark, p_xlsx)
     assert df_xls.schema == df_xlsx.schema
-    assert sorted(map(tuple, df_xls.collect())) == sorted(
-        map(tuple, df_xlsx.collect())
+    key = repr  # None-safe total order
+    assert sorted(map(tuple, df_xls.collect()), key=key) == sorted(
+        map(tuple, df_xlsx.collect()), key=key
     )
     # typing contract: numeric column → double, mixed/string → string,
     # integral doubles in string columns render without '.0'

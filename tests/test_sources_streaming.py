@@ -51,10 +51,12 @@ def test_load_pipe_noisy_drops_malformed(spark, tmp_path):
 
 
 def test_load_file_dispatch(spark, tmp_path):
-    # .xlsx now dispatches to the stdlib codec (tests/test_xlsx_conflicts.py);
-    # only the legacy binary formats stay unsupported
-    with pytest.raises(NotImplementedError, match="xlrd|pyxlsb"):
-        load_file(spark, tmp_path / "x.xls")
+    # .xlsx and .xls now dispatch to the stdlib codecs (tests/
+    # test_xlsx_conflicts.py, tests/test_round6.py); only .xlsb stays
+    # env-blocked (no pyxlsb; the format's public spec is XLSB binary
+    # records, out of scope while a real user can re-save as .xlsx)
+    with pytest.raises(NotImplementedError, match="pyxlsb"):
+        load_file(spark, tmp_path / "x.xlsb")
     with pytest.raises(ValueError, match="unsupported"):
         load_file(spark, tmp_path / "x.bin")
     df = load_file(spark, "/root/testdata/sf0.001/region.parquet")
