@@ -5,9 +5,10 @@ Spark's CSV reader takes encoding/sep as options but never sniffs; the
 reference sniffs on a 10 kB sample with a fallback cascade
 (utils/file_handlers.py:12-68,139-154). Sniffing is inherently
 driver-side and O(10 kB), so it stays a tiny helper in front of the
-distributed read. Excel scans (S1) dispatch to the stdlib .xlsx codec in
-``sources/xlsx.py`` (ECMA-376 zip-of-XML, no third-party engine needed);
-legacy binary .xls/.xlsb stay unsupported with a clear error.
+distributed read. Excel scans (S1) dispatch to stdlib codecs — no
+third-party engines: ``sources/xlsx.py`` (ECMA-376 zip-of-XML),
+``sources/xls.py`` (CFB+BIFF8), ``sources/xlsb.py`` (OPC+BIFF12) —
+covering every engine the reference selects (file_handlers.py:84-90).
 """
 
 from __future__ import annotations
@@ -100,12 +101,10 @@ def load_file(spark: SparkSession, path: str | Path, **kw) -> DataFrame:
         df, _names = load_xls(spark, path, **kw)
         return df
     if suffix == ".xlsb":
-        raise NotImplementedError(
-            ".xlsb needs the proprietary pyxlsb engine (the reference "
-            "does too, utils/file_handlers.py:87); .xls (BIFF8) and .xlsx "
-            "are supported natively (sources/xls.py, sources/xlsx.py), "
-            "or convert to parquet/CSV."
-        )
+        from datamatcher_spark.sources.xlsb import load_xlsb
+
+        df, _names = load_xlsb(spark, path, **kw)
+        return df
     raise ValueError(f"unsupported file format: {suffix}")
 
 

@@ -17,8 +17,7 @@ the resulting grid feeds the SHARED ``grid_to_df`` typing, so an .xls and
 an .xlsx of the same content produce identical DataFrames — the parity
 contract the tests assert. The writer emits the same record subset inside
 a minimal single-stream CFB container so round-trip tests need no binary
-fixtures (xlsx.py precedent). ``.xlsb`` stays documented-unsupported
-(proprietary record set; the reference needs pyxlsb for it too).
+fixtures (xlsx.py precedent). ``.xlsb`` has its own codec (xlsb.py).
 """
 
 from __future__ import annotations

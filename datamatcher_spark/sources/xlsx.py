@@ -13,9 +13,9 @@ feed ``spark.createDataFrame`` and everything downstream is distributed.
 
 The writer emits the same subset (inline strings + numbers, one sheet)
 so CSV-report-style extracts can round-trip and tests need no fixture
-binaries. Legacy .xls (BIFF8) has its own stdlib codec in ``xls.py``
-sharing this module's ``grid_to_df`` typing; .xlsb remains unsupported
-(the reference needs the pyxlsb engine for it too).
+binaries. Legacy .xls (BIFF8, ``xls.py``) and binary .xlsb
+(BIFF12, ``xlsb.py``) have their own stdlib codecs sharing this
+module's ``grid_to_df`` typing.
 """
 
 from __future__ import annotations

@@ -478,12 +478,15 @@ def test_xls_roundtrip_property(tmp_path):
     check()
 
 
-def test_xlsb_still_blocked(spark, tmp_path):
+def test_xlsb_garbage_fails_loudly(spark, tmp_path):
+    # a non-ZIP .xlsb must fail with a clear container error, not parse
+    import zipfile
+
     from datamatcher_spark.sources.ingest import load_file
 
     p = tmp_path / "f.xlsb"
     p.write_bytes(b"\x00")
-    with pytest.raises(NotImplementedError, match="pyxlsb"):
+    with pytest.raises(zipfile.BadZipFile):
         load_file(spark, p)
 
 
@@ -612,3 +615,137 @@ def test_cc_window_rewrite_matches_union_find(spark):
     cc, iters = connected_components(e)
     got = {r.node: r.component for r in cc.collect()}
     assert got == oracle, f"iters={iters}"
+
+
+# ---------------------------------------------------------------------------
+# BIFF12 .xlsb codec — the last reference Excel engine (pyxlsb,
+# file_handlers.py:86-87) replaced with a stdlib twin (sources/xlsb.py)
+# ---------------------------------------------------------------------------
+
+
+def test_xlsb_roundtrip_and_parity(spark, tmp_path):
+    """load_file('*.xlsb') must return the SAME DataFrame as the xlsx twin
+    of the same grid, through BOTH string layouts (inline BrtCellSt and
+    sharedStrings.bin/BrtCellIsst — the layout Excel itself writes)."""
+    from datamatcher_spark.sources.ingest import load_file
+    from datamatcher_spark.sources.xlsb import (
+        read_xlsb_rows,
+        sheet_names_xlsb,
+        write_xlsb,
+    )
+    from datamatcher_spark.sources.xlsx import write_xlsx
+
+    p_xlsx = tmp_path / "twin.xlsx"
+    write_xlsx(_XLS_GRID, p_xlsx, sheet_name="Arkusz1")
+    df_xlsx = load_file(spark, p_xlsx)
+    key = repr  # None-safe total order
+    want = sorted(map(tuple, df_xlsx.collect()), key=key)
+
+    for use_sst in (False, True):
+        p = tmp_path / f"twin_{use_sst}.xlsb"
+        write_xlsb(_XLS_GRID, p, sheet_name="Arkusz1", use_sst=use_sst)
+        assert read_xlsb_rows(p) == _XLS_GRID
+        assert sheet_names_xlsb(p) == ["Arkusz1"]
+        df = load_file(spark, p)
+        assert df.schema == df_xlsx.schema
+        assert sorted(map(tuple, df.collect()), key=key) == want
+    kinds = dict(df.dtypes)
+    assert kinds["price"] == "double" and kinds["ean"] == "string"
+
+
+def test_xlsb_raw_record_paths_and_errors(tmp_path):
+    """Decoder paths the writer never emits — RK int/÷100 lanes, cached
+    formula values (BrtFmlaNum/String/Bool), BrtCellError → None, blank
+    gaps, a 2-byte-id record skipped by length — via a hand-built record
+    stream; plus the missing-sheet error."""
+    import struct
+    import zipfile
+
+    import pytest as _pytest
+
+    from datamatcher_spark.sources import xlsb as x
+
+    cell = lambda c: struct.pack("<II", c, 0)  # noqa: E731
+    sheet = bytearray(x._rec(x._BEGIN_SHEET) + x._rec(x._BEGIN_SHEET_DATA))
+    sheet += x._rec(148, struct.pack("<IIII", 0, 1, 0, 3))  # BrtWsDim: skip
+    sheet += x._rec(x._ROW_HDR, struct.pack("<I", 0) + b"\x00" * 13)
+    sheet += x._rec(x._CELL_RK, cell(0) + struct.pack("<I", (42 << 2) | 2))
+    sheet += x._rec(x._CELL_RK, cell(1) + struct.pack("<I", (2468 << 2) | 3))
+    sheet += x._rec(x._FMLA_NUM, cell(2) + struct.pack("<d", 6.5) + b"\x00\x00")
+    sheet += x._rec(x._ROW_HDR, struct.pack("<I", 2) + b"\x00" * 13)  # row gap
+    sheet += x._rec(x._FMLA_STRING, cell(0) + x._ws("cached") + b"\x00\x00")
+    sheet += x._rec(x._FMLA_BOOL, cell(1) + b"\x01\x00\x00")
+    sheet += x._rec(x._CELL_ERROR, cell(2) + b"\x17")
+    sheet += x._rec(x._END_SHEET_DATA) + x._rec(x._END_SHEET)
+
+    workbook = (
+        x._rec(x._BEGIN_BOOK)
+        + x._rec(
+            x._BUNDLE_SH,
+            struct.pack("<II", 0, 1) + x._ws("rId1") + x._ws("S"),
+        )
+        + x._rec(x._END_BOOK)
+    )
+    p = tmp_path / "raw.xlsb"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("xl/workbook.bin", bytes(workbook))
+        zf.writestr("xl/_rels/workbook.bin.rels", x._wb_rels(False))
+        zf.writestr("xl/worksheets/sheet1.bin", bytes(sheet))
+
+    assert x.read_xlsb_rows(p) == [
+        [42.0, 24.68, 6.5],
+        [None, None, None],
+        ["cached", True, None],
+    ]
+    with _pytest.raises(ValueError, match="not found"):
+        x.read_xlsb_rows(p, sheet="Nope")
+
+
+def test_xlsb_roundtrip_property(tmp_path):
+    """Property: any grid of str/float/bool/None cells survives the
+    BIFF12 write→read round trip in both string layouts (dense header
+    row so column width is well-defined)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datamatcher_spark.sources.xlsb import read_xlsb_rows, write_xlsb
+
+    cell = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            max_size=40,
+        ),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=6).flatmap(
+            lambda w: st.lists(
+                st.lists(cell, min_size=w, max_size=w), min_size=1, max_size=8
+            )
+        ),
+        st.booleans(),
+    )
+    def check(grid, use_sst):
+        # trailing all-None rows/cols are indistinguishable from absent
+        # ones in a sparse cell store — normalize like the xls property
+        while grid and all(v is None for v in grid[-1]):
+            grid.pop()
+        if not grid:
+            return
+        while grid[0] and all(r[-1] is None for r in grid):
+            grid = [r[:-1] for r in grid]
+        p = tmp_path / "prop.xlsb"
+        write_xlsb(grid, p, use_sst=use_sst)
+        assert read_xlsb_rows(p) == [
+            [float(v) if isinstance(v, (int, float))
+             and not isinstance(v, bool) else v for v in r]
+            for r in grid
+        ]
+
+    check()

@@ -51,12 +51,14 @@ def test_load_pipe_noisy_drops_malformed(spark, tmp_path):
 
 
 def test_load_file_dispatch(spark, tmp_path):
-    # .xlsx and .xls now dispatch to the stdlib codecs (tests/
-    # test_xlsx_conflicts.py, tests/test_round6.py); only .xlsb stays
-    # env-blocked (no pyxlsb; the format's public spec is XLSB binary
-    # records, out of scope while a real user can re-save as .xlsx)
-    with pytest.raises(NotImplementedError, match="pyxlsb"):
-        load_file(spark, tmp_path / "x.xlsb")
+    # .xlsx, .xls and .xlsb all dispatch to stdlib codecs now (tests/
+    # test_xlsx_conflicts.py, tests/test_round6.py) — every reference
+    # Excel engine (file_handlers.py:84-90) has a native twin
+    from datamatcher_spark.sources.xlsb import write_xlsb
+
+    p_xlsb = tmp_path / "x.xlsb"
+    write_xlsb([["k"], ["v1"]], p_xlsb)
+    assert load_file(spark, p_xlsb).count() == 1
     with pytest.raises(ValueError, match="unsupported"):
         load_file(spark, tmp_path / "x.bin")
     df = load_file(spark, "/root/testdata/sf0.001/region.parquet")

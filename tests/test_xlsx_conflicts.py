@@ -64,10 +64,10 @@ def test_load_file_dispatch(spark, workbook):
 
     df = load_file(spark, workbook)
     assert df.count() == 4
-    # .xls dispatches to the stdlib BIFF8 codec now (tests/test_round6.py);
-    # .xlsb is the one remaining env-blocked legacy format
-    with pytest.raises(NotImplementedError):
-        load_file(spark, workbook.with_suffix(".xlsb"))
+    # .xls and .xlsb dispatch to their own stdlib codecs now
+    # (tests/test_round6.py); unknown extensions still fail loudly
+    with pytest.raises(ValueError, match="unsupported"):
+        load_file(spark, workbook.with_suffix(".bin"))
 
 
 def test_header_dedup_and_headerless(spark, tmp_path):
