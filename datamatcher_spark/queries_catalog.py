@@ -1762,34 +1762,52 @@ def q_validation_soft(spark, sf_dir):
     """
     -- DOUBLE casts: bare 19.99 is DECIMAL in DuckDB, which hashes
     -- differently from the reader's double columns
-    SELECT sku, name, CAST(qty AS DOUBLE) AS qty, CAST(price AS DOUBLE) AS price
+    SELECT f.fmt, t.sku, t.name,
+           CAST(t.qty AS DOUBLE) AS qty, CAST(t.price AS DOUBLE) AS price
     FROM (VALUES
       ('A-1', 'Widget & <fine>', 3.0, 19.99),
       ('B-2', 'Gadget', 0.0, 5.5),
       ('C-3', NULL, 12.0, 100.0)
     ) t(sku, name, qty, price)
+    CROSS JOIN (VALUES ('xls'), ('xlsb'), ('xlsx')) f(fmt)
     """,
 )
 def q_excel_ingest(spark, sf_dir):
-    """S1 Excel scan: write a deterministic workbook with the stdlib
-    xlsx codec, read it back through the ingest dispatch, compare against
-    a VALUES oracle (reference utils/file_handlers.py:71-107)."""
+    """S1/S8 Excel scan: write the SAME deterministic workbook with all
+    three stdlib codecs (xlsx zip-of-XML, xls CFB+BIFF8, xlsb OPC+BIFF12
+    — one per reference engine, utils/file_handlers.py:84-90), read each
+    back through the ingest dispatch, and union tagged by format: the
+    VALUES-x-formats oracle hashes only if every codec's typing agrees
+    cell-for-cell with the others."""
     import tempfile
+    from functools import reduce
     from pathlib import Path
 
     from datamatcher_spark.sources.ingest import load_file
+    from datamatcher_spark.sources.xls import write_xls
+    from datamatcher_spark.sources.xlsb import write_xlsb
     from datamatcher_spark.sources.xlsx import write_xlsx
 
-    path = Path(tempfile.mkdtemp(prefix="xlsx_catalog_")) / "fixture.xlsx"
-    write_xlsx(
-        [
-            ["sku", "name", "qty", "price"],
-            ["A-1", "Widget & <fine>", 3, 19.99],
-            ["B-2", "Gadget", 0, 5.5],
-            ["C-3", None, 12, 100.0],
-        ],
-        path,
-    )
-    return load_file(spark, path)
+    grid = [
+        ["sku", "name", "qty", "price"],
+        ["A-1", "Widget & <fine>", 3, 19.99],
+        ["B-2", "Gadget", 0, 5.5],
+        ["C-3", None, 12, 100.0],
+    ]
+    d = Path(tempfile.mkdtemp(prefix="excel_catalog_"))
+    frames = []
+    for fmt, writer in (
+        ("xls", write_xls),
+        ("xlsb", write_xlsb),
+        ("xlsx", write_xlsx),
+    ):
+        path = d / f"fixture.{fmt}"
+        writer(grid, path)
+        frames.append(
+            load_file(spark, path).select(
+                F.lit(fmt).alias("fmt"), "sku", "name", "qty", "price"
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
 
 
