@@ -26,7 +26,6 @@ from pyspark.sql.types import LongType
 from datamatcher_spark.functions.minhash import (
     MERSENNE_P,
     jaccard_distinct_sets_expr,
-    jaccard_tokens_expr,
     lsh_band_keys_expr,
     minhash_signature_udf,
     shingle_hashes_expr,
@@ -111,11 +110,25 @@ def minhash_near_duplicates(
     jaccard_threshold: float = 0.7,
     seed: int = 1337,
     max_band_size: int = 500,
+    broadcast_verify_rows: int = 250_000,
     caches: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) via MinHash-LSH
     banding + exact token-Jaccard verification. Pass ``caches`` (see
-    ``cache_scope``) to release the persisted band table explicitly."""
+    ``cache_scope``) to release the persisted band table explicitly.
+
+    r7 shape (guide §2.3 / §8 — shuffle keys, not payloads): the band
+    table is SLIM (id, band key), so the self-join exchanges ~30 B/row
+    instead of carrying every doc's full token array once per band (the
+    r6 shape shuffled each token array 16×, then moved two token arrays
+    per surviving pair through the dedup). Token sets join back onto the
+    deduped pairs for the verify — as sorted-distinct 64-bit hashes, so
+    the per-pair Jaccard intersects fixed-width longs (identical values:
+    |A∩B|/|A∪B| over distinct token hashes equals the string-set form,
+    collision odds ~|vocab|²/2⁶⁵ — the representation the ER score stage
+    has always used). ``broadcast_verify_rows`` picks the verify-join
+    strategy (broadcast below, shuffle-hash above — the scoring-stage
+    cutover pattern)."""
     # layered: toks materialized first, then shingle hashes built FROM the
     # token column — inlining the token split into the per-gram lambda
     # re-evaluates it per gram position (O(n²)/doc; see word_shingles_expr)
@@ -133,7 +146,7 @@ def minhash_near_duplicates(
     # (verified via .explain: four ArrowEvalPython nodes collapse to one)
     banded = _persist(
         base.select(
-            "id", "toks",
+            "id",
             F.explode(lsh_band_keys_expr(F.col("sig"), bands, rows)).alias("bk"),
         ),
         caches,
@@ -146,16 +159,38 @@ def minhash_near_duplicates(
     pairs = (
         a.join(b, "bk")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.toks").alias("toks_a"), F.col("b.toks").alias("toks_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("jaccard", jaccard_tokens_expr(F.col("toks_a"), F.col("toks_b")))
+    )
+    # sorted-distinct token-hash sets, computed once per doc for the
+    # verify joins (both sides + the count read this cache)
+    tokh = _persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(tokens_expr(F.col(text_col)), lambda t: F.xxhash64(t))
+                )
+            ).alias("th"),
+        ),
+        caches,
+    )
+    n_docs = tokh.count()
+    ta = tokh.select(F.col("id").alias("id_a"), F.col("th").alias("th_a"))
+    tb = tokh.select(F.col("id").alias("id_b"), F.col("th").alias("th_b"))
+    if n_docs <= broadcast_verify_rows:
+        ta, tb = F.broadcast(ta), F.broadcast(tb)
+    else:
+        ta, tb = ta.hint("shuffle_hash"), tb.hint("shuffle_hash")
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "jaccard", jaccard_distinct_sets_expr(F.col("th_a"), F.col("th_b"))
+        )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return pairs
 
 
 def simhash_udf(bits: int = 64, seed: int = 7):
@@ -275,6 +310,164 @@ def _prefix_len_expr(size_col: Column, threshold: float) -> Column:
     )
 
 
+def _bitset_udf(n_words: int):
+    """array<int> of set-bit indices → fixed-width array<long> bitset
+    (little-endian within each 64-bit word). One Arrow crossing; the
+    per-row scatter is a vectorized ``np.bitwise_or.at``."""
+
+    @F.pandas_udf("array<bigint>")
+    def _bs(rg: pd.Series) -> pd.Series:  # pragma: no cover - executor side
+        def one(r):
+            w = np.zeros(n_words, dtype=np.uint64)
+            if r is not None and len(r):
+                rr = np.asarray(r, dtype=np.int64)
+                np.bitwise_or.at(
+                    w, rr >> 6, np.uint64(1) << (rr & 63).astype(np.uint64)
+                )
+            return w.view(np.int64)
+
+        return rg.map(one)
+
+    return _bs
+
+
+def _ngram_dense_df_order(
+    base: DataFrame,
+    dfreq: DataFrame,
+    vocab_size: int,
+    threshold: float,
+    max_block_size: int | None,
+    broadcast_verify_rows: int,
+    caches: list | None,
+) -> DataFrame:
+    """df-order All-Pairs join specialized for SMALL vocabularies (guide
+    §2.3 "shuffle keys and metadata" + §1.2 "fix the distributed
+    algorithm first").
+
+    Motivation (measured, sf1.0 = 50k docs): the corpus vocabulary is
+    2,041 distinct 5-gram hashes and even the rarest gram appears in
+    ~2.9k docs, so single-gram prefix buckets reach 2,820 members and the
+    block self-join emits 1.84e9 raw rows. The r6 shape then paid a
+    distinct over ~185e6 post-filter CANDIDATE rows (a multi-GB spilling
+    exchange — each true candidate is re-found through ~30 shared prefix
+    grams) plus two wide joins re-attaching ~200-element gram arrays to
+    ~90e6 pairs. Driver-measured 803 s at sf1.0.
+
+    This path changes the representation, never the math:
+      * grams are mapped to DENSE RANKS 0..V−1 ordered by (dfreq, gram) —
+        the identical total order the sparse df-order path sorts by, so
+        prefixes, buckets, size filter and positional filter admit
+        EXACTLY the same candidate set;
+      * each doc's gram set additionally becomes a ⌈V/64⌉-word BITSET;
+        |A∩B| is then a popcount of ANDed words (~V/64 cheap ops) instead
+        of a hash-set intersect of ~|A| longs per pair;
+      * the verify runs INLINE on the un-deduplicated candidate stream
+        (bitsets attached map-side by a broadcast — or shuffle-hash at
+        scale — hash join), and only the J ≥ t survivors reach
+        dropDuplicates. The ~185e6-row exchange disappears; the dedup
+        shuffles ~|output| rows.
+
+    Jaccard values are identical to the sparse path: ranks are a
+    bijection of the distinct gram hashes, so |A∩B| and |A|+|B|−|A∩B|
+    are unchanged. Measured sf1.0: 803 s (r6 sparse) → see
+    OPTIMIZATION_r07.md (this path)."""
+    from pyspark.sql.window import Window
+
+    exploded = base.select("id", F.explode("gh").alias("g"))
+    # rank = position in the global (dfreq, g) order — the same order the
+    # sparse path establishes via array_sort(struct(dfreq, g)). The rank
+    # window runs on the dfreq table (V rows, V ≤ dense_vocab_max), so
+    # the single-partition sort is bounded and tiny.
+    rankmap = (
+        dfreq.withColumn(
+            "rk", F.row_number().over(Window.orderBy("dfreq", "g")) - 1
+        ).select("g", "rk")
+    )
+    n_words = (vocab_size + 63) // 64
+    # persist: rg feeds BOTH self-join sides (prefix slices) and bs feeds
+    # both verify sides — one rank join + one Arrow crossing total
+    bits = _persist(
+        exploded.join(F.broadcast(rankmap), "g")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("rk")).alias("rg"))
+        .select(
+            "id",
+            F.size("rg").alias("sz"),
+            "rg",
+            _bitset_udf(n_words)(F.col("rg")).alias("bs"),
+        ),
+        caches,
+    )
+    n_docs = bits.count()  # materializes the cache; drives the join choice
+
+    banded = bits.select(
+        "id",
+        "sz",
+        F.posexplode(
+            F.slice(F.col("rg"), F.lit(1), _prefix_len_expr(F.col("sz"), threshold))
+        ).alias("pos", "rk"),
+    )
+    if max_block_size:
+        oversized = banded.groupBy("rk").count().filter(F.col("count") > max_block_size)
+        banded = banded.join(F.broadcast(oversized.select("rk")), "rk", "left_anti")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
+        - F.lit(1e-9)
+    )
+    ubound = 1 + F.least(
+        F.col("a.sz") - F.col("a.pos") - 1, F.col("b.sz") - F.col("b.pos") - 1
+    )
+    raw = (
+        a.join(b, "rk")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+        )
+        .filter(ubound >= alpha)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+    )
+    ba = bits.select(F.col("id").alias("id_a"), F.col("bs").alias("bs_a"))
+    bb = bits.select(F.col("id").alias("id_b"), F.col("bs").alias("bs_b"))
+    # explicit join strategy, never the static estimate (the scoring-stage
+    # lesson): broadcast the per-doc bitsets when they fit comfortably,
+    # else co-partition with shuffle-hash — the 10^12-doc plan.
+    if n_docs <= broadcast_verify_rows:
+        ba, bb = F.broadcast(ba), F.broadcast(bb)
+    else:
+        ba, bb = ba.hint("shuffle_hash"), bb.hint("shuffle_hash")
+    inter = F.aggregate(
+        F.zip_with(F.col("bs_a"), F.col("bs_b"), lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    union = (F.col("sz_a") + F.col("sz_b")).cast("double") - F.col("jc_inter")
+    return (
+        raw.join(ba, "id_a")
+        .join(bb, "id_b")
+        .withColumn("jc_inter", inter.cast("double"))
+        .withColumn(
+            "jaccard",
+            F.when(union == 0, F.lit(1.0)).otherwise(F.col("jc_inter") / union),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        # candidate multiplicity (one row per shared prefix gram) is
+        # collapsed AFTER the verify: survivors are ~|output| rows, so
+        # this exchange is trivial where the r6 pre-verify distinct
+        # shuffled every candidate. Project first — the dedup exchange
+        # must carry (id, id, double), not the bitsets.
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def ngram_jaccard_duplicates(
     df: DataFrame,
     id_col: str,
@@ -284,6 +477,8 @@ def ngram_jaccard_duplicates(
     threshold: float = 0.6,
     order: str = "df",
     max_block_size: int | None = None,
+    dense_vocab_max: int = 16384,
+    broadcast_verify_rows: int = 250_000,
     caches: list | None = None,
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dups with prefix-filter blocking —
@@ -318,7 +513,18 @@ def ngram_jaccard_duplicates(
     recall work belongs to ``minhash_near_duplicates``.
     ``max_block_size`` truncates degenerate buckets at the cost of the
     guarantee inside them — the caller's explicit, logged choice, as in
-    the minhash path."""
+    the minhash path.
+
+    r7: when the measured vocabulary is small (≤ ``dense_vocab_max``
+    distinct grams — the df-order pass counts it for free), the df-order
+    branch switches to ``_ngram_dense_df_order``: identical candidate
+    set and identical Jaccard values, but grams become dense ranks, the
+    verify intersects ⌈V/64⌉-word bitsets instead of gram-hash arrays,
+    and the pair dedup moves AFTER the verify so the candidate stream is
+    never exchanged (the r6 shape's dominant cost at sf1.0 — see the
+    helper's docstring for the measured numbers). ``broadcast_verify_rows``
+    is the verify-join strategy cutover (broadcast vs shuffle-hash), the
+    same pattern as the ER score stage's feature join."""
     norm = F.regexp_replace(F.lower(F.col(text_col).cast("string")), r"\s+", " ")
     # grams live ONLY as sorted distinct 64-bit hashes: the verify then
     # intersects long arrays, not 5-char strings — same Jaccard values
@@ -347,7 +553,17 @@ def ngram_jaccard_duplicates(
 
     if order == "df":
         exploded = base.select("id", F.explode("gh").alias("g"))
-        dfreq = exploded.groupBy("g").agg(F.count("*").alias("dfreq"))
+        # persist: the vocabulary census below and the rank/dfreq join
+        # both consume this one-row-per-distinct-gram table (tiny)
+        dfreq = _persist(
+            exploded.groupBy("g").agg(F.count("*").alias("dfreq")), caches
+        )
+        vocab_size = dfreq.count()
+        if vocab_size <= dense_vocab_max:
+            return _ngram_dense_df_order(
+                base, dfreq, vocab_size, threshold, max_block_size,
+                broadcast_verify_rows, caches,
+            )
         # dfreq is one row per distinct gram (16 B each) — broadcast it so
         # the rank join is map-side; only the per-doc regroup shuffles.
         # At vocabulary sizes beyond broadcast range, drop the hint and

@@ -101,11 +101,12 @@ def test_cache_scope_releases_persisted_rdds(spark):
         ngram_jaccard_duplicates(
             docs, "doc_id", "text", threshold=0.85, caches=cs
         ).count()
-        # minhash bands + simhash base + ngram gram arrays + ngram's
-        # df-order banded prefix table (persisted since r4 — both
-        # self-join sides consume the explode→dfreq-join→regroup pipeline)
-        assert len(cs) == 4
-        assert len(persisted_ids() - before) == 4
+        # minhash bands + minhash token-hash sets (r7 slim-join verify) +
+        # simhash base + ngram gram arrays + ngram's dfreq census + the
+        # dense-path rank/bitset table (r7 — both self-join sides and
+        # both verify sides consume them)
+        assert len(cs) == 6
+        assert len(persisted_ids() - before) == 6
     assert len(persisted_ids() - before) == 0
 
 
