@@ -30,8 +30,14 @@ _FLOATIFIED_INT_RE = r"^[-0-9]*[0-9][-0-9]*\.0$"
 
 def pystrip_expr(c: Column) -> Column:
     """Python ``str.strip()`` semantics (all whitespace, not just spaces —
-    Spark's ``trim`` strips 0x20 only)."""
-    return F.regexp_replace(c.cast("string"), r"^\s+|\s+$", "")
+    Spark's ``trim`` strips 0x20 only).
+
+    r7: ``btrim`` over the exact Java-regex ``\\s`` class
+    ``[ \\t\\n\\x0B\\f\\r]`` — char-set trim is equivalent to stripping
+    ``^\\s+|\\s+$`` (same set, ends only) and skips the regex engine on
+    every key of every normalize-heavy aggregate (guide §1.2 step 2:
+    per-task work)."""
+    return F.btrim(c.cast("string"), F.lit(" \t\n\x0b\f\r"))
 
 
 def is_empty_expr(c: Column) -> Column:
@@ -46,9 +52,15 @@ def is_empty_expr(c: Column) -> Column:
 
 
 def _strip_floatified(s: Column) -> Column:
-    """Remove Excel's trailing '.0' from integer-looking strings."""
+    """Remove Excel's trailing '.0' from integer-looking strings.
+
+    The cheap ``endswith('.0')`` guard short-circuits the regex for the
+    overwhelmingly common keys without the suffix (codegen's && skips the
+    second operand) — the regex itself requires the suffix, so the guard
+    never changes the outcome."""
     return F.when(
-        s.rlike(_FLOATIFIED_INT_RE), F.substring(s, 1, F.length(s) - 2)
+        s.endswith(".0") & s.rlike(_FLOATIFIED_INT_RE),
+        F.substring(s, 1, F.length(s) - 2),
     ).otherwise(s)
 
 
@@ -91,8 +103,12 @@ def normalize_key_expr(
 
     if strip_decimal:
         s = _strip_floatified(s)
-    # collapse runs of 2+ spaces (reference loops `'  '→' '` to fixpoint)
-    s = F.regexp_replace(s, r" {2,}", " ")
+    # collapse runs of 2+ spaces (reference loops `'  '→' '` to fixpoint);
+    # the contains('  ') guard skips the regex for single-spaced keys —
+    # identical output (a string without '  ' is a fixpoint already)
+    s = F.when(
+        s.contains("  "), F.regexp_replace(s, r" {2,}", " ")
+    ).otherwise(s)
     if case_insensitive:
         s = F.lower(s)
     if strip_leading_zeros:

@@ -310,13 +310,22 @@ def _prefix_len_expr(size_col: Column, threshold: float) -> Column:
     )
 
 
-def _bitset_udf(n_words: int):
-    """array<int> of set-bit indices → fixed-width array<long> bitset
-    (little-endian within each 64-bit word). One Arrow crossing; the
-    per-row scatter is a vectorized ``np.bitwise_or.at``."""
+_SKETCH_PARTS = 32  # vocab partitions in the count sketch (rank mod 32)
 
-    @F.pandas_udf("array<bigint>")
-    def _bs(rg: pd.Series) -> pd.Series:  # pragma: no cover - executor side
+
+def _bitset_udf(n_words: int):
+    """array of set-rank indices → struct of
+      * ``bs``: ⌈V/64⌉-word array<long> bitset (little-endian per word)
+      * ``sk``: 8-long packed count sketch — 32 partition counts
+        (|X ∩ {ranks ≡ p mod 32}|), four 16-bit lanes per long.
+    One Arrow crossing; per-row work is a vectorized scatter + bincount.
+    Lanes never saturate: a partition count is bounded by ⌈V/32⌉ and the
+    dense path only runs for V ≤ dense_vocab_max (≤ 16,384 → ≤ 512)."""
+
+    @F.pandas_udf("struct<bs: array<bigint>, sk: array<bigint>>")
+    def _bs(rg: pd.Series) -> pd.DataFrame:  # pragma: no cover - executor side
+        shifts = np.arange(4, dtype=np.uint64) * np.uint64(16)
+
         def one(r):
             w = np.zeros(n_words, dtype=np.uint64)
             if r is not None and len(r):
@@ -324,11 +333,48 @@ def _bitset_udf(n_words: int):
                 np.bitwise_or.at(
                     w, rr >> 6, np.uint64(1) << (rr & 63).astype(np.uint64)
                 )
-            return w.view(np.int64)
+                c = np.bincount(rr & (_SKETCH_PARTS - 1),
+                                minlength=_SKETCH_PARTS).astype(np.uint64)
+            else:
+                c = np.zeros(_SKETCH_PARTS, dtype=np.uint64)
+            sk = (c.reshape(-1, 4) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            return w.view(np.int64), sk.view(np.int64)
 
-        return rg.map(one)
+        pairs = rg.map(one)
+        return pd.DataFrame(
+            {"bs": pairs.map(lambda p: p[0]), "sk": pairs.map(lambda p: p[1])}
+        )
 
     return _bs
+
+
+def _sketch_min_sum(sk_a: Column, sk_b: Column) -> Column:
+    """Σ_p min(count_A[p], count_B[p]) over the 32 packed partition
+    counts — an EXACT upper bound on |A∩B| (the intersection inside
+    partition p has at most min of the two partition sizes), evaluated
+    as flat shift/mask arithmetic so whole-stage codegen keeps the
+    method small enough for the JIT (an array-lambda or a per-word
+    ``element_at`` popcount here blew past HotSpot's huge-method limit
+    and ran as interpreted bytecode — measured 117 s vs the join's 16 s
+    floor at 185e6 rows)."""
+    mask = F.lit(0xFFFF)
+    terms = []
+    for j in range(_SKETCH_PARTS // 4):
+        la, lb = F.element_at(sk_a, j + 1), F.element_at(sk_b, j + 1)
+        for lane in range(4):
+            sh = 16 * lane
+            terms.append(
+                F.least(
+                    F.shiftrightunsigned(la, sh).bitwiseAND(mask),
+                    F.shiftrightunsigned(lb, sh).bitwiseAND(mask),
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def _ngram_dense_df_order(
@@ -384,8 +430,9 @@ def _ngram_dense_df_order(
         ).select("g", "rk")
     )
     n_words = (vocab_size + 63) // 64
-    # persist: rg feeds BOTH self-join sides (prefix slices) and bs feeds
-    # both verify sides — one rank join + one Arrow crossing total
+    # persist: rg feeds BOTH self-join sides (prefix slices) and the
+    # bitset + count sketch feed both verify sides — one rank join + one
+    # Arrow crossing total
     bits = _persist(
         exploded.join(F.broadcast(rankmap), "g")
         .groupBy("id")
@@ -394,8 +441,10 @@ def _ngram_dense_df_order(
             "id",
             F.size("rg").alias("sz"),
             "rg",
-            _bitset_udf(n_words)(F.col("rg")).alias("bs"),
-        ),
+            _bitset_udf(n_words)(F.col("rg")).alias("enc"),
+        )
+        .select("id", "sz", "rg", F.col("enc.bs").alias("bs"),
+                F.col("enc.sk").alias("sk")),
         caches,
     )
     n_docs = bits.count()  # materializes the cache; drives the join choice
@@ -434,8 +483,10 @@ def _ngram_dense_df_order(
             F.col("b.sz").alias("sz_b"),
         )
     )
-    ba = bits.select(F.col("id").alias("id_a"), F.col("bs").alias("bs_a"))
-    bb = bits.select(F.col("id").alias("id_b"), F.col("bs").alias("bs_b"))
+    ba = bits.select(F.col("id").alias("id_a"), F.col("bs").alias("bs_a"),
+                     F.col("sk").alias("sk_a"))
+    bb = bits.select(F.col("id").alias("id_b"), F.col("bs").alias("bs_b"),
+                     F.col("sk").alias("sk_b"))
     # explicit join strategy, never the static estimate (the scoring-stage
     # lesson): broadcast the per-doc bitsets when they fit comfortably,
     # else co-partition with shuffle-hash — the 10^12-doc plan.
@@ -443,27 +494,34 @@ def _ngram_dense_df_order(
         ba, bb = F.broadcast(ba), F.broadcast(bb)
     else:
         ba, bb = ba.hint("shuffle_hash"), bb.hint("shuffle_hash")
+    # pair-level overlap requirement α = ⌈t/(1+t)·(|A|+|B|)⌉ (J ≥ t ⟺
+    # |A∩B| ≥ α): checked first against the cheap codegen'd sketch bound,
+    # so the interpreted array popcount only ever runs on sketch
+    # survivors (And short-circuits left-to-right)
+    pair_alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("sz_a") + F.col("sz_b")) - F.lit(1e-9)
+    )
     inter = F.aggregate(
         F.zip_with(F.col("bs_a"), F.col("bs_b"), lambda x, y: F.bit_count(x.bitwiseAND(y))),
         F.lit(0),
         lambda acc, v: acc + v,
-    )
-    union = (F.col("sz_a") + F.col("sz_b")).cast("double") - F.col("jc_inter")
+    ).cast("double")
+    union = (F.col("sz_a") + F.col("sz_b")).cast("double") - inter
+    jaccard = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
     return (
         raw.join(ba, "id_a")
         .join(bb, "id_b")
-        .withColumn("jc_inter", inter.cast("double"))
-        .withColumn(
-            "jaccard",
-            F.when(union == 0, F.lit(1.0)).otherwise(F.col("jc_inter") / union),
+        .filter(
+            (_sketch_min_sum(F.col("sk_a"), F.col("sk_b")) >= pair_alpha)
+            & (jaccard >= threshold)
         )
-        .filter(F.col("jaccard") >= threshold)
         # candidate multiplicity (one row per shared prefix gram) is
         # collapsed AFTER the verify: survivors are ~|output| rows, so
         # this exchange is trivial where the r6 pre-verify distinct
         # shuffled every candidate. Project first — the dedup exchange
         # must carry (id, id, double), not the bitsets.
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", F.round(jaccard, 6).alias("jaccard"))
         .dropDuplicates(["id_a", "id_b"])
     )
 

