@@ -338,11 +338,16 @@ def _parse_sheet(buf: bytes, offset: int, sst: list[str]) -> list[list]:
 
     if not cells:
         return []
-    # rows with no cells at all are skipped, matching read_xlsx_rows
-    # (absent <row> elements never reach its grid either)
+    # grid spans row 0..max populated row, so fully-empty INTERIOR rows
+    # survive as all-None rows — the same contract as read_xlsb_rows
+    # (range(max_r+1)) and read_xlsx_rows (the writer emits a <row>
+    # element per grid row). r7: the previous sorted(cells) iteration
+    # silently dropped such rows, breaking the cross-codec "identical
+    # DataFrames for identical grids" contract (r6 ADVICE, medium).
     width = max(max(r) for r in cells.values()) + 1
     return [
-        [cells[ri].get(ci) for ci in range(width)] for ri in sorted(cells)
+        [cells.get(ri, {}).get(ci) for ci in range(width)]
+        for ri in range(max(cells) + 1)
     ]
 
 
@@ -406,11 +411,17 @@ def _sst_records(strings: list[str], total_refs: int) -> bytes:
     for s in strings:
         try:
             raw = s.encode("latin-1")
+            cch = len(raw)
             flags = 0
         except UnicodeEncodeError:
             raw = s.encode("utf-16-le")
+            # cch is UTF-16 CODE UNITS per [MS-XLS], not Python code
+            # points — non-BMP chars (surrogate pairs) count twice, and
+            # len(s) under-counted them, corrupting round-trips (r6
+            # ADVICE, low). The reader already counts code units.
+            cch = len(raw) // 2
             flags = 1
-        bodies.append(struct.pack("<HB", len(s), flags) + raw)
+        bodies.append(struct.pack("<HB", cch, flags) + raw)
     chunks: list[bytes] = []
     cur = bytearray(struct.pack("<II", total_refs, len(strings)))
     for b in bodies:

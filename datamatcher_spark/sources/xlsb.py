@@ -184,7 +184,10 @@ def _parse_sheet(buf: bytes, strings: list[str]) -> list[list]:
             elif rid in (_CELL_ST, _FMLA_STRING):
                 put(col, _wide_string(data, 8)[0])
             elif rid == _CELL_ISST:
-                put(col, strings[struct.unpack_from("<I", data, 8)[0]])
+                # guard malformed/foreign isst like the xls twin:
+                # out-of-range indices degrade to None, never IndexError
+                isst = struct.unpack_from("<I", data, 8)[0]
+                put(col, strings[isst] if isst < len(strings) else None)
             elif rid in (_CELL_ERROR, _FMLA_ERROR):
                 put(col, None)
             # BrtCellBlank carries no value — leave the gap as None

@@ -445,9 +445,11 @@ def test_xls_roundtrip_property(tmp_path):
         )
     )
     def check(grid):
-        # BIFF cells are sparse: a fully-empty trailing column or row is
-        # unrepresentable (no cell records) — normalize the expectation
-        # the same way the reader sees it
+        # BIFF cells are sparse: fully-empty TRAILING rows/columns are
+        # unrepresentable (no cell records), but interior empty rows
+        # survive as all-None rows — the cross-codec contract shared
+        # with read_xlsx_rows/read_xlsb_rows (r7, closed the r6 ADVICE
+        # medium item; the old expectation here encoded the divergence)
         p = tmp_path / "prop.xls"
         write_xls(grid, p)
         got = read_xls_rows(p)
@@ -461,12 +463,13 @@ def test_xls_roundtrip_property(tmp_path):
             assert got == []
             return
         width = max(ci for _, ci in present) + 1
+        last_row = max(ri for ri, _ in present)
         expected = [
             [(v if not isinstance(v, (bool, float)) or isinstance(v, bool)
               else float(v)) for v in row[:width]]
             + [None] * (width - len(row[:width]))
             for ri, row in enumerate(grid)
-            if any(v is not None for v in row)
+            if ri <= last_row
         ]
         # writer stores ints/floats as doubles
         expected = [

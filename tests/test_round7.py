@@ -122,3 +122,60 @@ def test_ngram_dense_and_sparse_paths_identical(spark):
             ).collect()
         )
     assert dense and dense == sparse
+
+
+def test_excel_codecs_empty_interior_row_parity(tmp_path):
+    """Identical grids → identical row lists across all three codecs,
+    INCLUDING fully-empty interior rows (r6 ADVICE medium: the xls
+    reader used to drop them)."""
+    from datamatcher_spark.sources.xls import read_xls_rows, write_xls
+    from datamatcher_spark.sources.xlsb import read_xlsb_rows, write_xlsb
+    from datamatcher_spark.sources.xlsx import read_xlsx_rows, write_xlsx
+
+    grid = [["a", "b"], [None, None], ["x", 1.0]]
+    p1, p2, p3 = tmp_path / "g.xls", tmp_path / "g.xlsb", tmp_path / "g.xlsx"
+    write_xls(grid, p1)
+    write_xlsb(grid, p2)
+    write_xlsx(grid, p3)
+    got = [read_xls_rows(p1), read_xlsb_rows(p2), read_xlsx_rows(p3)]
+    assert got[0] == got[1] == got[2], got
+    assert len(got[0]) == 3 and got[0][1] == [None, None]
+
+
+def test_xls_sst_non_bmp_roundtrip(tmp_path):
+    """Non-BMP strings (surrogate pairs in UTF-16) must survive the SST
+    write→read round trip — cch is code UNITS per [MS-XLS], and the
+    writer used to count code points (r6 ADVICE low)."""
+    from datamatcher_spark.sources.xls import read_xls_rows, write_xls
+
+    grid = [["héllo 😀", "𝄞 clef"], ["plain", "😀😀😀"]]
+    p = tmp_path / "emoji.xls"
+    write_xls(grid, p)
+    assert read_xls_rows(p) == grid
+
+
+def test_xlsb_out_of_range_isst_degrades_to_none(tmp_path):
+    """A malformed isst index degrades to None like the xls twin —
+    never IndexError (r6 ADVICE low)."""
+    import struct
+    import zipfile
+
+    from datamatcher_spark.sources import xlsb as x
+
+    cell = lambda c: struct.pack("<II", c, 0)  # noqa: E731
+    sheet = bytearray(x._rec(x._BEGIN_SHEET) + x._rec(x._BEGIN_SHEET_DATA))
+    sheet += x._rec(x._ROW_HDR, struct.pack("<I", 0) + b"\x00" * 13)
+    sheet += x._rec(x._CELL_ISST, cell(0) + struct.pack("<I", 99))
+    sheet += x._rec(x._END_SHEET_DATA) + x._rec(x._END_SHEET)
+    workbook = (
+        x._rec(x._BEGIN_BOOK)
+        + x._rec(x._BUNDLE_SH,
+                 struct.pack("<II", 0, 1) + x._ws("rId1") + x._ws("S"))
+        + x._rec(x._END_BOOK)
+    )
+    p = tmp_path / "bad_isst.xlsb"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("xl/workbook.bin", bytes(workbook))
+        zf.writestr("xl/_rels/workbook.bin.rels", x._wb_rels(False))
+        zf.writestr("xl/worksheets/sheet1.bin", bytes(sheet))
+    assert x.read_xlsb_rows(p) == [[None]]
