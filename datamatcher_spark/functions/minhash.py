@@ -104,23 +104,45 @@ def minhash_signature_expr(shingle_hashes: Column, k: int = 64, seed: int = 1337
 
 def minhash_signature_udf(k: int = 64, seed: int = 1337):
     """Arrow-batched numpy MinHash: shingle-hash array<long> → signature
-    array<long>. One (k × n_shingles) broadcasted min per row — the
-    vectorized fast path for the blocking stage."""
+    array<long>.
+
+    r7: vectorized across the WHOLE batch, not per row — all rows' hash
+    arrays are concatenated once and each of the k permutations is one
+    fused pass (multiply, Mersenne fold, segment-min via
+    ``np.minimum.reduceat``). The per-row formulation paid a ~25-45 µs
+    numpy dispatch per document plus a hardware divide per element; the
+    fold computes x mod (2³¹−1) exactly with shifts/adds (2³¹ ≡ 1 mod p,
+    so x ≡ (x >> 31) + (x & p); after two folds x ≤ p+1, one conditional
+    subtract finishes). Bit-identical to the old form — asserted corpus-
+    wide by the ``minhash_expr_crosscheck`` catalog entry against the
+    pure-Catalyst expression, and by tests/test_minhash.py."""
     a, b = _coeffs(k, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(hs: pd.Series) -> pd.Series:  # pragma: no cover - executor side
-        av = np.asarray(a, dtype=np.int64)[:, None]
-        bv = np.asarray(b, dtype=np.int64)[:, None]
-        empty = np.full(k, MERSENNE_P - 1, dtype=np.int64)
-
-        def one(h):
-            if h is None or len(h) == 0:
-                return empty
-            hv = np.asarray(h, dtype=np.int64)[None, :]
-            return ((av * hv + bv) % MERSENNE_P).min(axis=1)
-
-        return hs.map(one)
+        av = np.asarray(a, dtype=np.int64)
+        bv = np.asarray(b, dtype=np.int64)
+        P = MERSENNE_P
+        n = len(hs)
+        vals = [None if h is None else np.asarray(h, dtype=np.int64)
+                for h in hs]
+        lens = np.array([0 if v is None else len(v) for v in vals])
+        nonempty = lens > 0
+        out = np.full((n, k), P - 1, dtype=np.int64)
+        if nonempty.any():
+            concat = np.concatenate([v for v in vals if v is not None and len(v)])
+            ne_lens = lens[nonempty]
+            starts = np.zeros(len(ne_lens), dtype=np.int64)
+            np.cumsum(ne_lens[:-1], out=starts[1:])
+            mins = np.empty((len(ne_lens), k), dtype=np.int64)
+            for i in range(k):
+                x = av[i] * concat + bv[i]          # < 2^62: exact in int64
+                x = (x >> 31) + (x & P)
+                x = (x >> 31) + (x & P)             # now 0 <= x <= P+1
+                x[x >= P] -= P
+                mins[:, i] = np.minimum.reduceat(x, starts)
+            out[nonempty] = mins
+        return pd.Series(list(out))
 
     return _sig
 

@@ -194,26 +194,42 @@ def minhash_near_duplicates(
 
 
 def simhash_udf(bits: int = 64, seed: int = 7):
-    """token-hash array<long> → simhash long (numpy bit-vote per batch)."""
+    """token-hash array<long> → simhash long.
+
+    r7: vectorized across the whole Arrow batch — one splitmix64 mix of
+    the concatenated token hashes, then per-bit segment sums via
+    ``np.add.reduceat`` (the per-row form paid a numpy dispatch plus an
+    (n_tokens × 64) materialization per document). Bit-identical votes
+    and fingerprints (same mix, same majority rule; pinned against the
+    pure-Python replay in functions/pyhash.py)."""
 
     @F.pandas_udf(LongType())
     def _sim(hs: pd.Series) -> pd.Series:  # pragma: no cover - executor side
-        shifts = np.arange(bits, dtype=np.uint64)
-
-        def one(h):
-            if h is None or len(h) == 0:
-                return 0
-            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+        n = len(hs)
+        vals = [None if h is None else np.asarray(h, dtype=np.int64)
+                for h in hs]
+        lens = np.array([0 if v is None else len(v) for v in vals])
+        nonempty = lens > 0
+        out = np.zeros(n, dtype=np.int64)
+        if nonempty.any():
+            concat = np.concatenate(
+                [v for v in vals if v is not None and len(v)]
+            ).astype(np.uint64)
             # per-token 64-bit mix (splitmix64 finalizer)
-            x = hv + np.uint64(0x9E3779B97F4A7C15 + seed)
+            x = concat + np.uint64(0x9E3779B97F4A7C15 + seed)
             x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
             x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
             x = x ^ (x >> np.uint64(31))
-            votes = ((x[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
-            sim = ((votes * 2 > len(hv)) .astype(np.uint64) << shifts).sum()
-            return int(np.int64(sim))
-
-        return hs.map(one)
+            ne_lens = lens[nonempty]
+            starts = np.zeros(len(ne_lens), dtype=np.int64)
+            np.cumsum(ne_lens[:-1], out=starts[1:])
+            sim = np.zeros(len(ne_lens), dtype=np.uint64)
+            one = np.uint64(1)
+            for i in range(bits):
+                votes = np.add.reduceat((x >> np.uint64(i)) & one, starts)
+                sim |= (votes * 2 > ne_lens).astype(np.uint64) << np.uint64(i)
+            out[nonempty] = sim.view(np.int64)
+        return pd.Series(out)
 
     return _sim
 
