@@ -149,6 +149,15 @@ class IVFIndex:
 
         ``auto`` picks expr at nlist ≤ 64 (the measured comfortable zone
         for the inline tree), join above.
+
+        Measured crossover (r7, 20k vectors × 16 dims, local[32]): both
+        forms scale linearly in nlist and expr stays slightly ahead
+        through nlist=512 (expr 5.6/8.3/18.9/33.8 s vs join
+        8.3/10.4/20.7/41.0 s at 64/128/256/512) — the join form's value
+        at realistic nlist (1k-4k) is bounded codegen/driver cost and
+        distributed argmax, not raw speed at moderate nlist. Parity is
+        pytest-asserted at nlist=16 AND nlist=512
+        (tests/test_round7.py::test_ivf_join_expr_parity_nlist_512).
         """
         if method == "auto":
             method = "expr" if len(self.centroids) <= 64 else "join"
@@ -159,25 +168,30 @@ class IVFIndex:
             [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
             "ivf_cell int, __centroid array<double>",
         )
-        # transient per-row key: hash of the vector itself — deterministic
+        # transient per-row key: the CASTED VECTOR ITSELF — deterministic
         # under recomputation (unlike monotonically_increasing_id, whose
         # two sides of the self-join below could disagree after a retry),
-        # and duplicate vectors collapsing to one argmax row is correct
-        # because equal vectors get equal cells
-        rid = F.xxhash64(F.col(vec_col).cast("array<double>"))
-        base = df.withColumn("__rid", rid)
+        # and collision-free by construction (r7, closed the r6 ADVICE
+        # item: the previous xxhash64(vector) key silently gave one
+        # vector the other's cell on a 64-bit collision). Duplicate
+        # vectors collapsing to one argmax row is correct because equal
+        # vectors get equal cells. Null vectors are excluded from the
+        # argmax and rejoin as NULL ivf_cell via the left join — the
+        # exact expr-path semantics (null sims → null array_max → null).
+        base = df.withColumn("__v", F.col(vec_col).cast("array<double>"))
         sims = (
-            base.select("__rid", F.col(vec_col).cast("array<double>").alias("__v"))
-            .dropDuplicates(["__rid"])
+            base.select("__v")
+            .where(F.col("__v").isNotNull())
+            .dropDuplicates(["__v"])
             .join(F.broadcast(cents))
             .select(
-                "__rid",
+                "__v",
                 F.col("ivf_cell"),
                 cosine_sim_expr(F.col("__v"), F.col("__centroid")).alias("__sim"),
             )
         )
         best = (
-            sims.groupBy("__rid")
+            sims.groupBy("__v")
             .agg(
                 F.max(
                     F.struct(
@@ -187,9 +201,9 @@ class IVFIndex:
                     )
                 ).alias("__best")
             )
-            .select("__rid", F.col("__best.ivf_cell").alias("ivf_cell"))
+            .select("__v", F.col("__best.ivf_cell").alias("ivf_cell"))
         )
-        return base.join(best, "__rid").drop("__rid")
+        return base.join(best, "__v", "left").drop("__v")
 
     def assign_cell_py(self, vec: Sequence[float]) -> int:
         """Driver-side twin of ``_cell_expr`` for one vector: JVM-fold

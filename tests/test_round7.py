@@ -179,3 +179,25 @@ def test_xlsb_out_of_range_isst_degrades_to_none(tmp_path):
         zf.writestr("xl/_rels/workbook.bin.rels", x._wb_rels(False))
         zf.writestr("xl/worksheets/sheet1.bin", bytes(sheet))
     assert x.read_xlsb_rows(p) == [[None]]
+
+
+def test_ivf_join_expr_parity_nlist_512(spark):
+    """r6 verdict item 6: the expr→join parity must hold at realistic
+    nlist, not just the nlist=16 smoke scale — including null vectors
+    (both paths → NULL cell) and the collision-free vector-keyed join
+    (r6 ADVICE item)."""
+    import numpy as np
+
+    from datamatcher_spark.operators.similarity_search import IVFIndex
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(2000)]
+    rows.append((9999, None))
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    idx = IVFIndex.fit(df.where("v is not null"), "v", nlist=512, seed=5)
+    expr = {r.vec_id: r.ivf_cell
+            for r in idx.assign(df, "v", method="expr").collect()}
+    join = {r.vec_id: r.ivf_cell
+            for r in idx.assign(df, "v", method="join").collect()}
+    assert expr == join
+    assert join[9999] is None
