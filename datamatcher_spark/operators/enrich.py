@@ -167,57 +167,95 @@ def _fuzzy_best_match(
     the scale-safe trade the blocked join makes.
 
     r7 (judge directive 1 — the repo's last uncapped quadratic): blocks
-    are CENSUSED and blocks larger than ``max_block_size`` candidates are
-    dropped from pair generation with a logged census — mirroring
+    are CENSUSED; blocks larger than ``max_block_size`` candidates are
+    first REFINED one level — ``c:<char>`` → ``c2:<first 2 chars>``,
+    ``l:<len>`` → ``cl:<first 2 chars>|<len>`` (probe side keeps its ±2
+    length expansion) — and refined blocks still over the cap are
+    dropped from pair generation with a logged census, mirroring
     ``plans/blocking.py:truncate_oversized`` and the reference's own
     100-candidate cap (utils/fuzzy_matcher.py:54). On prefix-skewed real
-    catalogs (every key starting with the same letter) the ``c:<char>``
-    bucket otherwise goes quadratic: probe×cand inside ONE join key.
-    Probes whose every block is truncated simply find no fuzzy match —
-    the same contract as the ER path's block cap. Truncation is never
-    silent: each dropped block is logged with its size."""
+    catalogs (every key starting with the same letter; at 300k+-key
+    sources EVERY first-char and length bucket is oversized) the
+    ``c:<char>`` bucket otherwise goes quadratic: probe×cand inside ONE
+    join key. Refined keys admit only pairs the ORIGINAL prune admitted
+    (first-2-equal ⊂ first-char-equal; first-2 ∩ ±2-length ⊂ length
+    bucket), so small-scale results are bit-identical (no block
+    oversized → no refinement) and at scale recall inside hot blocks
+    degrades to the finer key rather than to zero. Probes whose every
+    block is truncated find no fuzzy match — the ER block-cap contract.
+    Truncation is never silent: each dropped block is logged with its
+    size."""
     import logging
 
     from datamatcher_spark.functions.similarity import levenshtein_sim_expr
 
-    def keyed(df: DataFrame, col: str, expand: bool) -> DataFrame:
-        first = F.concat(F.lit("c:"), F.substring(col, 1, 1))
+    def keyed(df: DataFrame, col: str, expand: bool, refine: bool = False) -> DataFrame:
+        first2 = F.substring(col, 1, 2)
+        if refine:
+            first = F.concat(F.lit("c2:"), first2)
+            mk_len = lambda L: F.concat(F.lit("cl:"), first2, F.lit("|"), L)  # noqa: E731
+        else:
+            first = F.concat(F.lit("c:"), F.substring(col, 1, 1))
+            mk_len = lambda L: F.concat(F.lit("l:"), L)  # noqa: E731
         if expand:  # probe side carries one key per admissible length
             lens = F.array(*[
-                F.concat(F.lit("l:"), (F.length(col) + d).cast("string"))
+                mk_len((F.length(col) + d).cast("string"))
                 for d in (-2, -1, 0, 1, 2)
             ])
         else:
-            lens = F.array(F.concat(F.lit("l:"), F.length(col).cast("string")))
+            lens = F.array(mk_len(F.length(col).cast("string")))
         return df.withColumn("__fk", F.explode(F.concat(F.array(first), lens)))
 
-    kb, ks = keyed(b, "probe", expand=True), keyed(s, "cand", expand=False)
-    if max_block_size:
-        # census the CANDIDATE side (the exploded index): a block
-        # contributes |probes_in_block| × |cands_in_block| pairs, and the
-        # candidate side is the one the reference's own cap bounds
+    def census_drop(kb: DataFrame, ks: DataFrame, tag: str):
+        """Split off oversized blocks (census on the CANDIDATE side — a
+        block contributes |probes|×|cands| pairs and the candidate side
+        is the one the reference's own cap bounds). Returns the kept
+        key tables plus the set of oversized key values."""
         oversized = (
             ks.groupBy("__fk").count().filter(F.col("count") > max_block_size)
         )
         trunc = oversized.collect()  # tiny: one row per oversized block
-        if trunc:
-            logging.getLogger(__name__).warning(
-                "fuzzy_best_match: truncating %d oversized candidate "
-                "block(s) (cap %d): %s",
-                len(trunc), max_block_size,
-                [(r["__fk"], r["count"]) for r in trunc[:20]],
+        if not trunc:
+            return kb, ks, None
+        logging.getLogger(__name__).warning(
+            "fuzzy_best_match[%s]: %d oversized candidate block(s) "
+            "(cap %d): %s",
+            tag, len(trunc), max_block_size,
+            [(r["__fk"], r["count"]) for r in trunc[:20]],
+        )
+        drop = F.broadcast(
+            b.sparkSession.createDataFrame(trunc, "__fk string, count long")
+            .select("__fk")
+        )
+        return (kb.join(drop, "__fk", "left_anti"),
+                ks.join(drop, "__fk", "left_anti"),
+                drop)
+
+    kb, ks = keyed(b, "probe", expand=True), keyed(s, "cand", expand=False)
+    joins = []
+    if max_block_size:
+        kb, ks, dropped = census_drop(kb, ks, "coarse")
+        if dropped is not None:
+            # one refinement round over the members of dropped blocks:
+            # finer keys, then cap again (refined blocks still over the
+            # cap are truncated for real, with their own census)
+            rb = keyed(
+                keyed(b, "probe", expand=True).join(dropped, "__fk", "left_semi")
+                .select("probe").dropDuplicates(["probe"]),
+                "probe", expand=True, refine=True,
             )
-            drop = F.broadcast(
-                b.sparkSession.createDataFrame(trunc, "__fk string, count long")
-                .select("__fk")
+            rs = keyed(
+                keyed(s, "cand", expand=False).join(dropped, "__fk", "left_semi")
+                .select("cand").dropDuplicates(["cand"]),
+                "cand", expand=False, refine=True,
             )
-            kb = kb.join(drop, "__fk", "left_anti")
-            ks = ks.join(drop, "__fk", "left_anti")
-    pruned = (
-        kb.join(ks, "__fk")
-        .drop("__fk")
-        .dropDuplicates(["probe", "cand"])
-    )
+            rb, rs, _ = census_drop(rb, rs, "refined")
+            joins.append(rb.join(rs, "__fk").drop("__fk"))
+    joins.append(kb.join(ks, "__fk").drop("__fk"))
+    pruned = joins[0]
+    for j in joins[1:]:
+        pruned = pruned.unionByName(j)
+    pruned = pruned.dropDuplicates(["probe", "cand"])
     if block_expr is not None:
         pruned = pruned.filter(block_expr)
     scored = pruned.withColumn(

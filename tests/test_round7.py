@@ -23,13 +23,17 @@ def _prefix_skewed_corpus(spark, n=400):
     the first character (the reference's own fixtures are PRODUKT*),
     so the ``c:P`` bucket holds the WHOLE corpus."""
     # lengths spread 6..13 so each l:<len> bucket stays small (~n/8)
-    # while c:p holds everything
+    # while c:p (and the refined c2:p0) hold everything
     probes = [(f"p{i:04d}x" + "q" * (i % 8),) for i in range(n)]
     cands = [(f"p{i:04d}y" + "q" * (i % 8),) for i in range(n)]
-    # one planted pair reachable ONLY through the first-char key
-    # (length delta 4 > 2, same first char, high similarity)
-    probes.append(("pzzzzzzzzzzzzzzzzzzz",))               # len 20
-    cands.append(("pzzzzzzzzzzzzzzzz",))                   # len 17
+    # planted pair A: len delta 4 (only the first-char key admits it) but
+    # a COLD first-2 prefix "pz" — recoverable by the c2 refinement
+    probes.append(("p" + "z" * 29,))                       # len 30
+    cands.append(("p" + "z" * 25,))                        # len 26, sim .867
+    # planted pair B: len delta 4 AND the HOT first-2 prefix "p0" — its
+    # refined block is still over the cap, so it is truly truncated
+    probes.append(("p0" + "w" * 28,))                      # len 30
+    cands.append(("p0" + "w" * 24,))                       # len 26, sim .867
     b = spark.createDataFrame(probes, "probe string")
     s = spark.createDataFrame(cands, "cand string")
     return b, s
@@ -37,26 +41,30 @@ def _prefix_skewed_corpus(spark, n=400):
 
 def test_fuzzy_block_cap_truncates_and_logs(spark, caplog):
     b, s = _prefix_skewed_corpus(spark)
-    # uncapped: the first-char-only pair is found
+    # uncapped: both first-char-only pairs are found
     full = {r.probe: r.cand for r in
             _fuzzy_best_match(b, s, 0.8, max_block_size=0).collect()}
-    assert full["pzzzzzzzzzzzzzzzzzzz"] == "pzzzzzzzzzzzzzzzz"
+    assert full["p" + "z" * 29] == "p" + "z" * 25
+    assert full["p0" + "w" * 28] == "p0" + "w" * 24
     assert full["p0001xq"] == "p0001yq"
 
-    # capped below the c:p bucket size: the oversized block is dropped
-    # WITH a logged census; same-length matches are still rescued via
-    # their l:<len> keys, the length-delta-4 pair is (documented) lost
+    # capped below the c:p bucket size: the oversized coarse block is
+    # refined (c2:/cl: keys), refined-but-still-hot blocks are dropped
+    # WITH a logged census. Same-length matches survive via l:<len>;
+    # the cold-prefix planted pair survives via the c2:pz refinement;
+    # the hot-prefix + len-delta-4 planted pair is truly truncated.
     with caplog.at_level(logging.WARNING,
                          logger="datamatcher_spark.operators.enrich"):
         capped = {r.probe: r.cand for r in
                   _fuzzy_best_match(b, s, 0.8, max_block_size=100).collect()}
-    assert any("truncating" in rec.message and "c:p" in str(rec.args)
-               for rec in caplog.records), "truncation must be censused"
-    assert capped["p0001xq"] == "p0001yq"        # rescued through l:7
-    assert "pzzzzzzzzzzzzzzzzzzz" not in capped  # only c:p could find it
-
-    # the bounded join really is bounded: candidate volume through the
-    # length keys is n (one admissible length) vs n² through c:p
+    assert any("oversized candidate block" in rec.message
+               and "c:p" in str(rec.args)
+               for rec in caplog.records), "coarse truncation must be censused"
+    assert any("refined" in rec.message for rec in caplog.records), \
+        "still-hot refined blocks must be censused too"
+    assert capped["p0001xq"] == "p0001yq"            # rescued through l:7
+    assert capped["p" + "z" * 29] == "p" + "z" * 25   # via c2:pz
+    assert ("p0" + "w" * 28) not in capped            # hot even refined
     assert len(capped) == len(full) - 1
 
 
