@@ -136,24 +136,47 @@ def main() -> None:
                             key_column="sku"),
         )
 
-    walls = {}
-    for k in (1, 2, 3):
-        # work_dir mode: each source fold materializes to parquet, which
-        # truncates the chained fuzzy-rescue plan — without it the k-th
-        # source's sub-plan embeds every earlier fold and the wall grows
-        # superlinearly in k (measured at 100k rows: 17.6 / +23.3 / +47.5 s
-        # lazy vs linear with materialization). This is the documented
-        # production mode (mid-job resume) — not a bench trick.
-        with _Window() as w:
-            res, _, _ = execute_profile(
-                spark, profile_with(k), work_dir=f"{work}/run{k}"
-            )
-            res.write.format("noop").mode("overwrite").save()
-        walls[k] = {"wall": w.wall, "steal_pct": w.steal_pct,
-                    "busy_pct": w.busy_pct}
+    # untimed warm-up: the session's FIRST profile execution pays JVM
+    # JIT/codegen and page-cache population — measured as a ~15-25 s
+    # inflation of whichever k runs first (a cold k=1 leg measured
+    # slower than a warm k=3 leg), which turns the per-source deltas
+    # into noise. One throwaway single-source run makes the three timed
+    # legs comparable.
+    res, _, _ = execute_profile(
+        spark, profile_with(1), work_dir=f"{work}/warmup"
+    )
+    res.write.format("noop").mode("overwrite").save()
+
+    # Interleaved median-of-3 per source count: single-shot walls on
+    # this box carry ±20 s tails at ~80 s (measured: a k=2 leg BELOW a
+    # k=1 leg with steal ≈ 0), so one sample per k makes the per-source
+    # deltas pure noise. Trials interleave (1,2,3)×3 so each k sees the
+    # same window mix.
+    samples: dict[int, list[dict]] = {1: [], 2: [], 3: []}
+    for trial in range(3):
+        for k in (1, 2, 3):
+            # work_dir mode: each source fold materializes to parquet,
+            # which truncates the chained fuzzy-rescue plan — without it
+            # the k-th source's sub-plan embeds every earlier fold and
+            # the wall grows superlinearly in k (measured at 100k rows:
+            # 17.6 / +23.3 / +47.5 s lazy vs linear with
+            # materialization). This is the documented production mode
+            # (mid-job resume) — not a bench trick.
+            shutil.rmtree(f"{work}/run{k}", ignore_errors=True)
+            with _Window() as w:
+                res, _, _ = execute_profile(
+                    spark, profile_with(k), work_dir=f"{work}/run{k}"
+                )
+                res.write.format("noop").mode("overwrite").save()
+            samples[k].append({"wall": w.wall, "steal_pct": w.steal_pct,
+                               "busy_pct": w.busy_pct})
+    walls = {
+        k: sorted(s, key=lambda d: d["wall"])[1] for k, s in samples.items()
+    }
     out["enrichment"] = {
         "fuzzy_threshold": 0.85,
         "walls_by_source_count": walls,
+        "samples": samples,
         "per_source_wall_sec": [
             walls[1]["wall"],
             round(walls[2]["wall"] - walls[1]["wall"], 3),

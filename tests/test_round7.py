@@ -209,3 +209,39 @@ def test_ivf_join_expr_parity_nlist_512(spark):
             for r in idx.assign(df, "v", method="join").collect()}
     assert expr == join
     assert join[9999] is None
+
+
+def test_jaro_winkler_vectorized_bitwise_parity():
+    """r7: the vectorized JW kernel (`_jw_unique`) must be BIT-identical
+    to the pinned scalar `jaro_winkler` — greedy match order,
+    transposition count, prefix bonus and float expression order all
+    replicated. Adversarial mix: unicode (incl. astral), shared
+    prefixes, length extremes straddling the 16-char class bounds,
+    one-side-empty, and buckets below/above the scalar-fallback cutoff."""
+    import random
+    import string
+
+    from datamatcher_spark.functions.similarity import (
+        _jw_unique,
+        jaro_winkler,
+    )
+
+    rng = random.Random(7)
+    alph = string.ascii_lowercase + "ąćężźół ĄŻ0123456789-_./😀é"
+    pairs = [("", "abc"), ("abc", ""), ("a", "a" * 100)]
+    for _ in range(4000):
+        l1 = rng.choice([1, 2, 3, 4, 5, 8, 15, 16, 17, 31, 32, 33, 64])
+        l2 = rng.choice([1, 2, 3, 4, 5, 8, 15, 16, 17, 31, 32, 33, 64])
+        s1 = "".join(rng.choice(alph) for _ in range(l1))
+        s2 = (
+            s1[: max(0, l2 - 2)]
+            + "".join(rng.choice(alph) for _ in range(min(2, l2)))
+            if rng.random() < 0.4
+            else "".join(rng.choice(alph) for _ in range(l2))
+        )
+        if s1 != s2:
+            pairs.append((s1, s2))
+    got = _jw_unique([p[0] for p in pairs], [p[1] for p in pairs])
+    assert all(
+        got[i] == jaro_winkler(s1, s2) for i, (s1, s2) in enumerate(pairs)
+    )
