@@ -24,12 +24,9 @@ STOPWORDS = {
 }
 
 
-def token_count_expr(text: Column, *, tokens: Column | None = None) -> Column:
-    """Whitespace token count. Pass ``tokens`` (a materialized token
-    column) on hot paths so the split is not re-evaluated per consumer
-    (the word_shingles_expr perf contract)."""
-    toks = tokens if tokens is not None else tokens_expr(text)
-    return F.size(toks).cast("long")
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_expr(text)).cast("long")
 
 
 def bpe_ish_token_count_expr(text: Column) -> Column:
@@ -47,7 +44,7 @@ def bpe_ish_token_count_expr(text: Column) -> Column:
     return F.size(F.filter(pieces, lambda p: p != "")).cast("long")
 
 
-def quality_score_expr(text: Column, *, tokens: Column | None = None) -> Column:
+def quality_score_expr(text: Column) -> Column:
     """Heuristic quality in [0,1] from length / punctuation / word-shape
     ratios (the usual web-text quality-filter signals):
       * length score: saturates at 200 chars
@@ -56,11 +53,9 @@ def quality_score_expr(text: Column, *, tokens: Column | None = None) -> Column:
     """
     s = text.cast("string")
     n_chars = F.length(s)
-    # counts, not rebuilt strings: length-after-strip == length minus
-    # single-char-class match count (identical integers, no allocation)
-    non_space = n_chars - F.regexp_count(s, F.lit(r"\s"))
-    n_alpha = F.regexp_count(s, F.lit("[a-zA-Z]"))
-    toks = tokens if tokens is not None else tokens_expr(s)
+    non_space = F.length(F.regexp_replace(s, r"\s", ""))
+    n_alpha = F.length(F.regexp_replace(s, r"[^a-zA-Z]", ""))
+    toks = tokens_expr(s)
     n_tok = F.size(toks)
     mean_wl = F.when(n_tok > 0, non_space.cast("double") / n_tok).otherwise(F.lit(0.0))
 
@@ -74,10 +69,10 @@ def quality_score_expr(text: Column, *, tokens: Column | None = None) -> Column:
     return F.round((len_score + alpha_ratio + wl_score) / 3.0, 4)
 
 
-def lang_id_expr(text: Column, *, tokens: Column | None = None) -> Column:
+def lang_id_expr(text: Column) -> Column:
     """Coarse language ID by stopword votes: the language whose stopword
     set intersects the token set most wins; ties and zero hits → 'und'."""
-    toks = F.array_distinct(tokens if tokens is not None else tokens_expr(text))
+    toks = F.array_distinct(tokens_expr(text))
     hits = {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
         for lang, words in STOPWORDS.items()

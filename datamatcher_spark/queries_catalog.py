@@ -1561,21 +1561,21 @@ _STOPWORD_SQL = {
     """,
 )
 def q_textstats(spark, sf_dir):
-    from datamatcher_spark.functions.minhash import tokens_expr
-
-    # materialized token column: token_count / quality / lang_id all
-    # consume it, so the lower+split runs once per row, not three times
-    # (the word_shingles_expr perf contract; guide §1.2 per-task work)
-    d = _t(spark, sf_dir, "documents").withColumn(
-        "__toks", tokens_expr(F.col("text"))
-    )
-    toks = F.col("__toks")
+    # r7 NOTE (measured dead end, reverted): sharing a materialized
+    # __toks column across the three consumers and counting via
+    # regexp_count were both tried and measured SLOWER at 50k docs
+    # (4.3-4.5 s vs 3.3 s warm): Catalyst's runtime subexpression
+    # elimination already evaluates the repeated split once, and
+    # regexp_count's find() loop loses to regexp_replace+length. The
+    # original shape below is the empirically fastest of four variants
+    # (guide §1.1: the "ideal" plan lost to the measured one).
+    d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        token_count_expr(F.col("text"), tokens=toks).alias("n_tokens"),
+        token_count_expr(F.col("text")).alias("n_tokens"),
         fingerprint_expr(F.col("text")).alias("fp"),
-        quality_score_expr(F.col("text"), tokens=toks).alias("quality"),
-        lang_id_expr(F.col("text"), tokens=toks).alias("lang_pred"),
+        quality_score_expr(F.col("text")).alias("quality"),
+        lang_id_expr(F.col("text")).alias("lang_pred"),
     )
 
 
