@@ -61,11 +61,82 @@ def cache_scope():
             df.unpersist()
 
 
+# Persists made WITHOUT a cache_scope (the declared-query surface returns
+# lazy DataFrames, so there is no scope that can outlive materialization).
+# Spark's ContextCleaner never reclaims Dataset-level caches — the
+# CacheManager holds strong refs until unpersist — so in a long session
+# each dedup query would leak its intermediates into storage memory for
+# the rest of the session (measured: 174 MB after the three headline
+# dedup queries at sf1.0, growing linearly with corpus size). Every
+# public near-dup operator therefore releases the PREVIOUS orphans at
+# entry: a query's own caches live until the next operator call, never
+# longer. Trade-off, accepted: re-invoking the same query rebuilds its
+# caches from scratch (honest re-measurement; no cross-run reuse).
+_ORPHANS: list[DataFrame] = []
+
+
+def release_orphaned_caches() -> int:
+    """Unpersist intermediates left by scope-less operator calls.
+    Returns how many were released. Safe at any time: unpersist only
+    drops cached blocks — plans referencing them stay correct."""
+    n = len(_ORPHANS)
+    for df in _ORPHANS:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session may be gone; nothing to release
+    _ORPHANS.clear()
+    return n
+
+
 def _persist(df: DataFrame, caches: list | None) -> DataFrame:
     out = df.persist()
-    if caches is not None:
-        caches.append(out)
+    (_ORPHANS if caches is None else caches).append(out)
     return out
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Decouple compute parallelism from the input's file layout.
+
+    The corpus tables ship as single-row-group parquet (measured: the
+    sf0.1 documents/orders/lineitem files each hold ONE row group), and
+    parquet row groups are the unit of scan parallelism — Spark plans
+    byte-range splits, but every split that doesn't contain the row
+    group's start reads zero rows, so the whole scan lands on ONE task
+    no matter what maxPartitionBytes/openCostInBytes say. Every
+    expression fused into that scan stage (shingling, gram hashing,
+    fingerprints, signature UDFs) then runs on one core of the cluster.
+    A round-robin repartition to the session's default parallelism
+    moves only the scan's narrow projection (id + text, ~KB/row) and
+    unbinds everything downstream (guide §2.1/§6: partitioning must be
+    scale-adaptive, never inherited from an accident of file layout).
+    Results are partition-invariant: every consumer below is either a
+    deterministic per-row expression, an aggregate, or a window with an
+    explicit total order.
+
+    ADAPTIVE: when the plan's input files already carry enough row
+    groups to feed half the cores, the scan parallelizes by itself and
+    the repartition would be a pure exchange tax — skip it. The check
+    reads only parquet footers (driver-side metadata, ~ms per file, the
+    same class of planning I/O Spark's own file index does); any
+    surprise (non-local URI, non-parquet, missing footer) falls back to
+    repartitioning, the safe direction for compute-dense consumers."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+        if files:
+            import pyarrow.parquet as pq
+
+            n_rg = 0
+            for uri in files:
+                path = uri[7:] if uri.startswith("file:///") else uri
+                n_rg += pq.ParquetFile(path).metadata.num_row_groups
+                if n_rg >= max(2, par // 2):
+                    return df  # layout already feeds the cores
+    except Exception:
+        pass
+    return df.repartition(par)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str,
@@ -78,7 +149,8 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str,
     key = F.md5(content)
     w = Window.partitionBy("dup_key")
     return (
-        df.select(F.col(id_col).alias("id"), key.alias("dup_key"))
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select(F.col("id"), key.alias("dup_key"))
         .withColumn("group_size", F.count("*").over(w))
         .withColumn("keep_id", F.min("id").over(w))
         .withColumn("is_duplicate", F.col("id") != F.col("keep_id"))
@@ -90,8 +162,8 @@ def fingerprint_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFra
     (token-sort + md5)."""
     w = Window.partitionBy("dup_key")
     return (
-        df.select(F.col(id_col).alias("id"),
-                  fingerprint_expr(F.col(text_col)).alias("dup_key"))
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", fingerprint_expr(F.col(text_col)).alias("dup_key"))
         .withColumn("group_size", F.count("*").over(w))
         .withColumn("keep_id", F.min("id").over(w))
         .withColumn("is_duplicate", F.col("id") != F.col("keep_id"))
@@ -129,6 +201,12 @@ def minhash_near_duplicates(
     has always used). ``broadcast_verify_rows`` picks the verify-join
     strategy (broadcast below, shuffle-hash above — the scoring-stage
     cutover pattern)."""
+    if caches is None:
+        release_orphaned_caches()
+    # one spread input feeds both the signature build and the token-set
+    # verify (identical exchange → reused); see _spread on why the raw
+    # scan is single-task
+    df = _spread(df.select(F.col(id_col), F.col(text_col)))
     # layered: toks materialized first, then shingle hashes built FROM the
     # token column — inlining the token split into the per-gram lambda
     # re-evaluates it per gram position (O(n²)/doc; see word_shingles_expr)
@@ -262,6 +340,8 @@ def simhash_near_duplicates(
     explicit, logged choice as in the minhash path."""
     from itertools import combinations
 
+    if caches is None:
+        release_orphaned_caches()
     if n_chunks is None:
         n_chunks = max_hamming + 2
     if n_chunks <= max_hamming:
@@ -269,7 +349,9 @@ def simhash_near_duplicates(
     token_hashes = F.transform(
         tokens_expr(F.col(text_col)), lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE_P))
     )
-    base = df.select(F.col(id_col).alias("id"), token_hashes.alias("th"))
+    base = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"), token_hashes.alias("th")
+    )
     # persist: both self-join sides reuse the simhash UDF output
     base = _persist(
         base.withColumn("simhash", simhash_udf(64, seed)(F.col("th"))).drop("th"),
@@ -599,6 +681,8 @@ def ngram_jaccard_duplicates(
     helper's docstring for the measured numbers). ``broadcast_verify_rows``
     is the verify-join strategy cutover (broadcast vs shuffle-hash), the
     same pattern as the ER score stage's feature join."""
+    if caches is None:
+        release_orphaned_caches()
     norm = F.regexp_replace(F.lower(F.col(text_col).cast("string")), r"\s+", " ")
     # grams live ONLY as sorted distinct 64-bit hashes: the verify then
     # intersects long arrays, not 5-char strings — same Jaccard values
@@ -606,7 +690,7 @@ def ngram_jaccard_duplicates(
     # cheaper per pair, and the same trick the ER score stage uses for
     # its token sets (plans/blocking.py features()). dynamic-start
     # substring needs the SQL expr form.
-    base = df.select(
+    base = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         norm.alias("__norm"),
     ).withColumn(
@@ -775,6 +859,8 @@ def embedding_near_duplicates(
     probabilistic. Buckets bound the quadratic: the self-join touches
     O(Σ bucket²), never O(n²). Set n_planes=0 for the single-bucket exact
     mode (oracle-checkable on small inputs only)."""
+    if caches is None:
+        release_orphaned_caches()
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("v"))
     if n_planes > 0:

@@ -27,7 +27,14 @@ def key_stats(df: DataFrame, key_col: str, key_options: dict | None = None) -> D
     # all four stats in a single final aggregate. The previous version
     # scanned the table twice (per-key pass + totals pass) and
     # cross-joined — at 100 TB that is two full reads for one report row.
-    per_key = df.select(nk.alias("k")).groupBy("k").agg(
+    # r7: _spread the raw key column first — the input tables ship as
+    # single-row-group parquet, so without it the normalize (and the
+    # partial aggregate) runs on ONE task (see operators/dedup._spread)
+    from datamatcher_spark.operators.dedup import _spread
+
+    per_key = _spread(df.select(F.col(key_col))).select(
+        nk.alias("k")
+    ).groupBy("k").agg(
         F.count("*").alias("c")
     )
     return per_key.agg(

@@ -49,6 +49,12 @@ def run_pipeline(
     cfg: PipelineConfig | None = None,
 ) -> PipelineResult:
     cfg = cfg or PipelineConfig()
+    # a long-lived session may carry storage leftovers from scope-less
+    # dedup-operator calls (they grow with corpus size); the pipeline's
+    # stages should never compete with them for unified memory
+    from datamatcher_spark.operators.dedup import release_orphaned_caches
+
+    release_orphaned_caches()
     mt = MetricsTable(spark, work_dir, run_id)
     stages_run: list[str] = []
     stages_skipped: list[str] = []

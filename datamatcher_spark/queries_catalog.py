@@ -42,6 +42,7 @@ from datamatcher_spark.operators.batchfilter import (
     filter_range,
 )
 from datamatcher_spark.operators.dedup import (
+    _spread,
     cosine_sim_expr,
     embedding_near_duplicates,
     exact_duplicates,
@@ -818,7 +819,10 @@ def q_o4(spark, sf_dir):
     """,
 )
 def q_events_hourly(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
+    # r7: _spread — events ships as few-row-group parquet, so the
+    # partial aggregate otherwise runs fused into a near-serial scan
+    e = _spread(_t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"))
     return e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
@@ -1569,7 +1573,9 @@ def q_textstats(spark, sf_dir):
     # regexp_count's find() loop loses to regexp_replace+length. The
     # original shape below is the empirically fastest of four variants
     # (guide §1.1: the "ideal" plan lost to the measured one).
-    d = _t(spark, sf_dir, "documents")
+    # r7: _spread first — the documents file is single-row-group parquet,
+    # so without it every regex below runs on ONE task (see _spread)
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.select(
         "doc_id",
         token_count_expr(F.col("text")).alias("n_tokens"),

@@ -245,3 +245,73 @@ def test_jaro_winkler_vectorized_bitwise_parity():
     assert all(
         got[i] == jaro_winkler(s1, s2) for i, (s1, s2) in enumerate(pairs)
     )
+
+
+# ---------------------------------------------------------------------------
+# persist lifecycle: scope-less operator calls must not leak caches into
+# the rest of the session (r7: measured 174 MB of orphaned storage after
+# the three headline dedup queries at sf1.0 — Spark's ContextCleaner
+# never reclaims Dataset-level caches, so each operator releases the
+# previous call's orphans at entry)
+# ---------------------------------------------------------------------------
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_scopeless_dedup_calls_release_previous_caches(spark):
+    from datamatcher_spark.operators.dedup import (
+        minhash_near_duplicates,
+        ngram_jaccard_duplicates,
+        release_orphaned_caches,
+        simhash_near_duplicates,
+    )
+
+    release_orphaned_caches()
+    # other test modules share this JVM's SparkContext and may hold their
+    # own (non-dedup) caches — assert relative to that baseline
+    base_n = _n_persistent(spark)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 7} epsilon zeta eta theta")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    minhash_near_duplicates(docs, "doc_id", "text").write.format(
+        "noop").mode("overwrite").save()
+    assert _n_persistent(spark) > base_n  # minhash's own caches are live
+
+    simhash_near_duplicates(docs, "doc_id", "text").write.format(
+        "noop").mode("overwrite").save()
+    # minhash's orphans were released at simhash entry; only simhash's
+    # single persisted base remains
+    assert _n_persistent(spark) == base_n + 1
+
+    ngram_jaccard_duplicates(docs, "doc_id", "text").write.format(
+        "noop").mode("overwrite").save()
+    assert _n_persistent(spark) <= base_n + 3  # ngram's own
+
+    assert release_orphaned_caches() > 0
+    assert _n_persistent(spark) == base_n
+
+
+def test_cache_scope_still_owns_its_persists(spark):
+    from datamatcher_spark.operators.dedup import (
+        _ORPHANS,
+        cache_scope,
+        minhash_near_duplicates,
+        release_orphaned_caches,
+    )
+
+    release_orphaned_caches()
+    base_n = _n_persistent(spark)
+    docs = spark.createDataFrame(
+        [(i, f"one two three four {i % 5} five six seven") for i in range(40)],
+        "doc_id long, text string",
+    )
+    with cache_scope() as caches:
+        minhash_near_duplicates(docs, "doc_id", "text", caches=caches).write.format(
+            "noop").mode("overwrite").save()
+        assert len(caches) > 0
+        assert not _ORPHANS  # scoped persists never touch the orphan list
+    assert _n_persistent(spark) == base_n  # scope exit released everything
