@@ -160,6 +160,18 @@ def run_pipeline(
     if mt.is_committed("cluster"):
         stages_skipped.append("cluster")
     else:
+        # The CC loop is GC-sensitive: each round is three small keyed
+        # exchanges plus a localCheckpoint, so tenured garbage from the
+        # block/score stages (feature arrays, shuffle buffers) turns
+        # into repeated old-gen pauses INSIDE the rounds (observed: the
+        # same 960k cluster stage at 6.7 s in a fresh session vs 41.4 s
+        # after a full suite had filled the heap). One explicit full
+        # collection at the stage boundary pays the pause once, outside
+        # the loop.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass  # py4j surface may differ; the GC nudge is best-effort
         t0 = time.monotonic()
         edges = spark.read.parquet(edges_path).filter("accepted")
         # CC runs on 8-byte uids; urls are joined back once at the end
