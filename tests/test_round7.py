@@ -315,3 +315,97 @@ def test_cache_scope_still_owns_its_persists(spark):
         assert len(caches) > 0
         assert not _ORPHANS  # scoped persists never touch the orphan list
     assert _n_persistent(spark) == base_n  # scope exit released everything
+
+
+# ---- r7 continuation: expression rewrites pinned against reference forms ----
+# Each optimization below replaced a slice()-per-element Catalyst shape with
+# scalar element_at reads; these tests pin the new forms to the old forms /
+# pure-Python references on adversarial inputs, so a future edit that drifts
+# the output (not just the speed) fails loudly.
+
+
+def test_word_shingles_tokens_path_equals_text_path(spark):
+    """The optimized tokens= path (concat_ws over element_at) must emit
+    exactly the shingles of the text path (array_join over slice)."""
+    from pyspark.sql import functions as F
+
+    from datamatcher_spark.functions.minhash import tokens_expr, word_shingles_expr
+
+    docs = [
+        "one two three four five",
+        "  leading   and \t internal\nwhitespace  ",
+        "exactly three tokens",
+        "two tokens",
+        "one",
+        "",
+        "ünïcode tökens ❄ mixed ascii tail",
+        "a b c d e f g h i j",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "id long, text string")
+    for n in (2, 3, 4):
+        layered = df.withColumn("__toks", tokens_expr(F.col("text")))
+        a = layered.select(
+            "id", word_shingles_expr(None, n, tokens=F.col("__toks")).alias("sh")
+        )
+        b = df.select("id", word_shingles_expr(F.col("text"), n).alias("sh"))
+        rows_a = {r.id: r.sh for r in a.collect()}
+        rows_b = {r.id: r.sh for r in b.collect()}
+        assert rows_a == rows_b, f"n={n}"
+
+
+def test_lsh_band_keys_equal_slice_reference(spark):
+    """element_at band keys must be byte-identical to the historical
+    slice(...).cast(array<string>) formulation for every band."""
+    from pyspark.sql import functions as F
+
+    from datamatcher_spark.functions.minhash import lsh_band_keys_expr
+
+    bands, rows = 16, 4
+    sig = [[(i * 7919 + j * 104729) % 2_147_483_647 for j in range(bands * rows)]
+           for i in range(50)]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(sig)],
+                               "id long, sig array<bigint>")
+
+    def slice_reference(signature):
+        return F.array(*[
+            F.concat(
+                F.lit(f"lsh:{j}:"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",", *[F.slice(signature, j * rows + 1, rows).cast("array<string>")]
+                    ),
+                    F.lit(j),
+                ).cast("string"),
+            )
+            for j in range(bands)
+        ])
+
+    got = {r.id: r.bk for r in df.select(
+        "id", lsh_band_keys_expr(F.col("sig"), bands, rows).alias("bk")).collect()}
+    ref = {r.id: r.bk for r in df.select(
+        "id", slice_reference(F.col("sig")).alias("bk")).collect()}
+    assert got == ref
+
+
+def test_candidate_pairs_equal_itertools_reference(spark):
+    """Index-pair enumeration must produce exactly the distinct canonical
+    combinations of each block's sorted uid set (incl. multi-block dedup
+    and size-1 blocks contributing nothing)."""
+    from itertools import combinations
+
+    from datamatcher_spark.plans.scoring import candidate_pairs
+
+    blocks = [
+        ("b1", [10, 20, 30, 40]),
+        ("b2", [20, 30]),       # overlaps b1 -> duplicates for the distinct
+        ("b3", [99]),           # size-1: no pairs
+        ("b4", [7, 5, 3]),      # unsorted input; collect_set sorts
+    ]
+    rows = [(k, u) for k, us in blocks for u in us]
+    df = spark.createDataFrame(rows, "block_key string, uid long")
+    got = {(r.uid_a, r.uid_b) for r in candidate_pairs(df).collect()}
+    want = set()
+    for _, us in blocks:
+        for a, b in combinations(sorted(set(us)), 2):
+            want.add((a, b))
+    assert got == want
